@@ -1,0 +1,147 @@
+"""Shared building blocks for the network zoo.
+
+Layout is channels-last (NHWC / NDHWC) throughout — the native layout for
+XLA:TPU convolutions. Compute dtype is configurable (bf16 for MXU-friendly
+training); params and normalization statistics stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def normalize_p_dropout(p_dropout: Union[float, Sequence[float]], depth: int) -> Tuple[float, ...]:
+    """Float → repeated per level; list → validated (reference
+    ``UNet.py:47-54``)."""
+    if isinstance(p_dropout, (float, int)):
+        return (float(p_dropout),) * depth
+    p = tuple(float(x) for x in p_dropout)
+    if len(p) != depth:
+        raise ValueError(f"p_dropout list length {len(p)} != depth {depth}")
+    return p
+
+
+class Norm(nn.Module):
+    """Normalization switch: BatchNorm (reference parity) or GroupNorm (the
+    principled choice for small per-device batches — SURVEY §7).
+
+    With ``axis_name`` set, BatchNorm statistics are synchronized across the
+    mesh axis (``lax.pmean``) — the reference's BN stats are per-GPU and
+    unsynced (SyncBatchNorm commented out, ``SNPatchGAN_scripts.py:117-119``);
+    we default to synced under data parallelism and document the difference.
+    """
+
+    kind: str = "batch"  # "batch" | "group" | "none"
+    group_size: int = 16
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.kind == "none":
+            return x
+        if self.kind == "group":
+            groups = max(1, x.shape[-1] // self.group_size)
+            return nn.GroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            axis_name=self.axis_name if train else None,
+            name="norm",
+        )(x)
+
+
+class ConvBlock(nn.Module):
+    """Double [Conv -> Norm -> ReLU] with optional trailing dropout
+    (reference ``UNet.py:129-177``). Rank-agnostic: ``ndim`` selects 2D/3D.
+    """
+
+    out_channels: int
+    mid_channels: Optional[int] = None
+    kernel_size: int = 3
+    ndim: int = 2
+    p_dropout: float = 0.0
+    norm: str = "batch"
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        mid = self.mid_channels or self.out_channels
+        k = (self.kernel_size,) * self.ndim
+        x = nn.Conv(mid, k, padding="SAME", dtype=self.dtype, name="conv1")(x)
+        x = Norm(self.norm, axis_name=self.axis_name, name="bn1")(x, train)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, k, padding="SAME", dtype=self.dtype, name="conv2")(x)
+        x = Norm(self.norm, axis_name=self.axis_name, name="bn2")(x, train)
+        x = nn.relu(x)
+        if self.p_dropout > 0.0:
+            x = nn.Dropout(rate=self.p_dropout, deterministic=not train)(x)
+        return x
+
+
+def max_pool(x: jax.Array, ndim: int) -> jax.Array:
+    """2x (or 2x2x2) max pooling, stride 2."""
+    window = (2,) * ndim
+    return nn.max_pool(x, window_shape=window, strides=window)
+
+
+def upsample_linear(x: jax.Array, ndim: int) -> jax.Array:
+    """x2 bi/trilinear upsampling of the spatial axes (channels-last)."""
+    new_shape = (
+        x.shape[:1] + tuple(2 * s for s in x.shape[1 : 1 + ndim]) + x.shape[-1:]
+    )
+    return jax.image.resize(x, new_shape, method="linear")
+
+
+class UpConv(nn.Module):
+    """Transposed conv, kernel 2 stride 2 (reference's non-bilinear
+    synthesis path, ``UNet.py:79-81``)."""
+
+    out_channels: int
+    ndim: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = (2,) * self.ndim
+        return nn.ConvTranspose(
+            self.out_channels, k, strides=k, padding="VALID", dtype=self.dtype, name="convT"
+        )(x)
+
+
+class MLPHead(nn.Module):
+    """Linear/ReLU projection head (reference ``UNet.py:179-209``).
+    ``features``: sizes of each layer's output (input size inferred)."""
+
+    features: Sequence[int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i, f in enumerate(self.features[:-1]):
+            x = nn.relu(nn.Dense(f, dtype=self.dtype, name=f"fc{i}")(x))
+        return nn.Dense(self.features[-1], dtype=self.dtype, name=f"fc{len(self.features) - 1}")(x)
+
+
+class ConvHead(nn.Module):
+    """1x1-conv projection head (reference ``UNet.py:211-243``)."""
+
+    features: Sequence[int]
+    ndim: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = (1,) * self.ndim
+        for i, f in enumerate(self.features[:-1]):
+            x = nn.relu(nn.Conv(f, k, dtype=self.dtype, name=f"conv{i}")(x))
+        return nn.Conv(self.features[-1], k, dtype=self.dtype, name=f"conv{len(self.features) - 1}")(x)

@@ -1,0 +1,62 @@
+"""Explicit RNG key management.
+
+The reference relies on global numpy/torch seeding plus a DataLoader
+``worker_init_fn=lambda _: np.random.seed()`` hack to decorrelate worker
+augmentations (reference ``code/src/models/optim/UNet2D.py:100``,
+``code/scripts/unet-2D/UNet2D_scripts.py:53-60``). The JAX rebuild makes
+randomness explicit: one root key per experiment, split into named streams,
+folded with step/sample indices so every augmentation, dropout mask, and
+synthetic-anomaly draw is reproducible and collision-free by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import jax
+import jax.numpy as jnp
+
+
+def fold_in_name(key: jax.Array, name: str) -> jax.Array:
+    """Fold a string name into a key (stable across processes/runs)."""
+    digest = hashlib.sha256(name.encode("utf-8")).digest()
+    val = int.from_bytes(digest[:4], "little")
+    return jax.random.fold_in(key, val)
+
+
+class RngStream:
+    """A named, counted stream of PRNG keys.
+
+    ``stream.next()`` returns a fresh key each call (host-side counter);
+    ``stream.at(i)`` returns the deterministic i-th key without advancing.
+    """
+
+    def __init__(self, key: jax.Array, name: str = ""):
+        self._base = fold_in_name(key, name) if name else key
+        self._count = 0
+        self.name = name
+
+    def next(self) -> jax.Array:
+        k = jax.random.fold_in(self._base, self._count)
+        self._count += 1
+        return k
+
+    def at(self, i: int) -> jax.Array:
+        return jax.random.fold_in(self._base, i)
+
+    def child(self, name: str) -> "RngStream":
+        return RngStream(self._base, name)
+
+
+def seed_everything(seed: int) -> jax.Array:
+    """Return the experiment root key. (Numpy global seeding is deliberately
+    not done here — host-side shuffles take explicit generators.)"""
+    return jax.random.PRNGKey(seed)
+
+
+def per_sample_keys(key: jax.Array, sample_ids: jax.Array) -> jax.Array:
+    """Vectorized fold_in: one key per (global) sample id, so augmentations
+    are independent of batch composition and worker scheduling."""
+    return jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.asarray(sample_ids, dtype=jnp.uint32)
+    )

@@ -1,0 +1,61 @@
+import numpy as np
+import jax.numpy as jnp
+
+from ich_tpu.ops import ct
+
+
+def _ref_window(x, center, width, out_range=(0.0, 1.0)):
+    # reference formula, ct_utils.py:13-36, recomputed in numpy
+    win_min = center - width / 2
+    win_max = center + width / 2
+    delta = out_range[1] - out_range[0]
+    y = delta * (x - win_min) / (win_max - win_min) + out_range[0]
+    return np.clip(y, out_range[0], out_range[1])
+
+
+def test_window_ct_matches_reference_formula():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1000, 2000, size=(4, 32, 32)).astype(np.float32)
+    for center, width, rng_out in [(40, 120, (0, 1)), (50, 200, (0, 1)), (40, 80, (-1, 1))]:
+        got = np.asarray(ct.window_ct(jnp.asarray(x), center, width, rng_out))
+        want = _ref_window(x, center, width, rng_out)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_window_ct_int_input():
+    x = jnp.asarray(np.arange(-100, 100).reshape(10, 20), dtype=jnp.int32)
+    y = ct.window_ct(x, 0, 100)
+    assert y.dtype == jnp.float32
+    assert float(y.min()) == 0.0 and float(y.max()) == 1.0
+
+
+def test_resampled_shape_rule():
+    # reference ct_utils.py:56-58: round(shape * in/out); -1 keeps input dim
+    assert ct._resampled_shape((100, 100, 40), (0.5, 0.5, 5.0), (1, 1, 2.5)) == (50, 50, 80)
+    assert ct._resampled_shape((64, 64, 30), (0.4, 0.4, 4.0), (-1, -1, 2.0)) == (64, 64, 60)
+
+
+def test_resample_preserve_range():
+    rng = np.random.default_rng(1)
+    vol = rng.uniform(-50, 150, size=(20, 20, 10)).astype(np.float32)
+    out = ct.resample_ct(jnp.asarray(vol), (1, 1, 5), (1, 1, 2.5), preserve_range=True)
+    assert out.shape == (20, 20, 20)
+    np.testing.assert_allclose(float(out.min()), vol.min(), atol=1e-3)
+    np.testing.assert_allclose(float(out.max()), vol.max(), atol=1e-3)
+
+
+def test_resize_nearest_binary_mask_exact():
+    rng = np.random.default_rng(2)
+    mask = (rng.uniform(size=(16, 16)) > 0.7).astype(np.float32)
+    up = ct.resize_nearest(jnp.asarray(mask), (32, 32))
+    # nearest upsample by 2 then downsample by 2 must round-trip exactly
+    down = ct.resize_nearest(up, (16, 16))
+    np.testing.assert_array_equal(np.asarray(down), mask)
+    # output stays binary
+    assert set(np.unique(np.asarray(up))) <= {0.0, 1.0}
+
+
+def test_resize_linear_constant_preserved():
+    x = jnp.full((8, 8), 3.5)
+    y = ct.resize(x, (17, 13), order=1)
+    np.testing.assert_allclose(np.asarray(y), 3.5, atol=1e-6)
