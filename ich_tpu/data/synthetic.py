@@ -1,0 +1,80 @@
+"""Synthetic head-CT-like data for tests and benchmarks.
+
+Generates volumes with a skull-like bright ring, brain-tissue texture, and
+ellipsoidal hyperdense "hemorrhage" lesions with matching masks — enough
+structure for end-to-end smoke training to reach a meaningful Dice, without
+any external dataset (the reference's data — PhysioNet/RSNA/CQ500 — is not
+redistributable; SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ich_tpu.data.core import SliceDataset2D
+
+
+def _lesion_mask_2d(
+    rng: np.random.Generator, h: int, w: int, max_lesions: int = 2
+) -> np.ndarray:
+    mask = np.zeros((h, w), dtype=np.float32)
+    n = rng.integers(0, max_lesions + 1)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for _ in range(n):
+        cy, cx = rng.uniform(0.25 * h, 0.75 * h), rng.uniform(0.25 * w, 0.75 * w)
+        ry, rx = rng.uniform(0.03, 0.12) * h, rng.uniform(0.03, 0.12) * w
+        theta = rng.uniform(0, np.pi)
+        ys, xs = yy - cy, xx - cx
+        yr = ys * np.cos(theta) + xs * np.sin(theta)
+        xr = -ys * np.sin(theta) + xs * np.cos(theta)
+        mask[(yr / ry) ** 2 + (xr / rx) ** 2 <= 1.0] = 1.0
+    return mask
+
+
+def synthetic_ich_slices(
+    n_slices: int = 64,
+    size: int = 64,
+    n_volumes: int = 8,
+    seed: int = 0,
+    positive_frac: float = 0.6,
+) -> SliceDataset2D:
+    """Windowed-intensity [0,1] slices with lesions; returns SliceDataset2D."""
+    rng = np.random.default_rng(seed)
+    h = w = size
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = np.sqrt((yy - h / 2) ** 2 + (xx - w / 2) ** 2)
+    brain = (r < 0.42 * h).astype(np.float32)
+    skull = ((r >= 0.42 * h) & (r < 0.48 * h)).astype(np.float32)
+
+    images = np.empty((n_slices, h, w), dtype=np.float32)
+    masks = np.empty((n_slices, h, w), dtype=np.float32)
+    vol_ids = np.repeat(np.arange(n_volumes), int(np.ceil(n_slices / n_volumes)))[:n_slices]
+    slice_nbrs = np.concatenate(
+        [np.arange((vol_ids == v).sum()) for v in range(n_volumes)]
+    )[:n_slices]
+    for i in range(n_slices):
+        tissue = 0.35 + 0.08 * rng.standard_normal((h, w)).astype(np.float32)
+        if rng.uniform() < positive_frac:
+            lesion = _lesion_mask_2d(rng, h, w) * brain
+        else:
+            lesion = np.zeros((h, w), dtype=np.float32)
+        img = tissue * brain + 1.0 * skull
+        img = np.where(lesion > 0, 0.75 + 0.05 * rng.standard_normal((h, w)), img)
+        images[i] = np.clip(img, 0.0, 1.0)
+        masks[i] = lesion
+    return SliceDataset2D(images, masks, vol_ids, slice_nbrs)
+
+
+def synthetic_ich_volume(
+    size: int = 64, depth: int = 32, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One (H, W, D) volume in raw HU-like units + its (H, W, D) mask."""
+    rng = np.random.default_rng(seed)
+    ds = synthetic_ich_slices(n_slices=depth, size=size, n_volumes=1, seed=seed)
+    vol = np.transpose(ds.images, (1, 2, 0))  # (H, W, D)
+    mask = np.transpose(ds.masks, (1, 2, 0))
+    # map [0,1] windowed intensity back to a HU-like range (win 50/200)
+    vol_hu = vol * 200.0 + (50.0 - 100.0)
+    return vol_hu.astype(np.float32), mask.astype(np.float32)

@@ -1,0 +1,130 @@
+"""Checkpoint store + cross-task weight transfer.
+
+Logical contents mirror the reference's per-trainer checkpoint dict
+``{n_epoch_finished, net_state, optimizer_state, lr_state, loss_evolution}``
+(reference ``UNet2D.py:169-176``) as a single-file msgpack-serialized pytree,
+with the same crash-resume semantics (missing file → fresh start,
+``UNet2D.py:109-121``). Final weights are saved as a bare params pytree
+(``save_model``, ``UNet2D.py:339-348``).
+
+``transfer_weights`` reproduces the reference's key-intersection state-dict
+transfer (``UNet2D.py:316-337``) on flattened parameter paths, with the
+freeze option of ``Contrastive.transfer_weights`` (``Contrastive.py:227-253``)
+exposed as an optax mask.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Optional, Tuple
+
+import flax.serialization
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state: Any, epoch: int, history: list) -> None:
+    """Atomic single-file checkpoint: {epoch, state-pytree, history}."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {
+        "epoch": int(epoch),
+        "state": _to_host(state),
+        "history_json": json.dumps(history),
+    }
+    blob = flax.serialization.to_bytes(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, state_template: Any) -> Optional[Tuple[Any, int, list]]:
+    """Restore (state, epoch, history) or None if no checkpoint exists —
+    the reference's try/except-FileNotFoundError resume."""
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        blob = f.read()
+    template = {
+        "epoch": 0,
+        "state": _to_host(state_template),
+        "history_json": "",
+    }
+    payload = flax.serialization.from_bytes(template, blob)
+    state = jax.tree_util.tree_map(
+        lambda t, v: v, state_template, payload["state"]
+    )
+    return state, int(payload["epoch"]), json.loads(payload["history_json"])
+
+
+def save_params(path: str, params: Any) -> None:
+    """Bare weights export (reference ``save_model``)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(_to_host(params)))
+
+
+def load_params(path: str, params_template: Any) -> Any:
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(_to_host(params_template), f.read())
+
+
+def _flatten(tree: Any) -> dict:
+    flat = jax.tree_util.tree_leaves_with_path(tree)
+    return {jax.tree_util.keystr(p): (p, v) for p, v in flat}
+
+
+def transfer_weights(
+    target: Any, source: Any, verbose: bool = False, strict_shapes: bool = True
+) -> Tuple[Any, list]:
+    """Copy every leaf of ``source`` whose path exists in ``target`` (and
+    matches shape) into ``target``; return (new_target, transferred_paths).
+
+    Both arguments are variable pytrees (params, or {'params':..,
+    'batch_stats':..}). Non-matching paths are left untouched — the
+    reference's key-intersection ``state_dict.update`` semantics.
+    """
+    tgt_flat = _flatten(target)
+    src_flat = _flatten(source)
+    transferred = []
+    updates = {}
+    for key, (path, src_val) in src_flat.items():
+        if key not in tgt_flat:
+            continue
+        _, tgt_val = tgt_flat[key]
+        if strict_shapes and np.shape(tgt_val) != np.shape(src_val):
+            continue
+        updates[key] = src_val
+        transferred.append(key)
+
+    def replace(path, leaf):
+        key = jax.tree_util.keystr(path)
+        return updates.get(key, leaf)
+
+    new_target = jax.tree_util.tree_map_with_path(replace, target)
+    if verbose:
+        logger.info(
+            "%d matching weight keys found on %d to be transferred (%d target keys).",
+            len(transferred), len(src_flat), len(tgt_flat),
+        )
+    return new_target, transferred
+
+
+def freeze_mask(params: Any, frozen_paths: list) -> Any:
+    """Boolean pytree: True where the parameter should be *trained*. Feed to
+    ``optax.masked`` to freeze transferred weights (reference
+    ``Contrastive.py:227-253`` sets ``requires_grad=False``)."""
+    frozen = set(frozen_paths)
+
+    def mark(path, leaf):
+        return jax.tree_util.keystr(path) not in frozen
+
+    return jax.tree_util.tree_map_with_path(mark, params)

@@ -1,0 +1,447 @@
+"""2.5D U-Net segmentation trainer — the core supervised/fine-tune workload.
+
+Public API mirrors the reference trainer class ``UNet2D``
+(``code/src/models/optim/UNet2D.py``): ``train`` / ``evaluate`` /
+``segment_volume`` / ``transfer_weights`` / ``save_model`` / ``load_model``
+/ ``save_outputs`` and the same ``outputs`` dict schema — but the insides
+are a pure jitted ``train_step(state, batch, key) → state`` over a
+functional flax core, with:
+
+- on-device batched augmentation inside the step (``augment_fn``),
+- HBM-resident dataset option: batches are device-side gathers, no
+  host↔device traffic in the steady state,
+- data parallelism via a ``jax.sharding.Mesh`` (batch sharded over the
+  ``data`` axis, params replicated; XLA inserts gradient psums over ICI),
+- evaluation computing per-slice confusion counts on device and the
+  slice→volume Dice groupby as a ``segment_sum``,
+- ``segment_volume``: whole-volume slice-wise inference as one jitted
+  device program (rot90 → window → resize → net → threshold → resize back),
+  replacing the reference's per-batch host round-trips (``UNet2D.py:293-302``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from datetime import timedelta
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ich_tpu.data.core import SliceDataset2D, batch_indices
+from ich_tpu.ops import ct
+from ich_tpu.ops.metrics import batch_binary_confusion_matrix
+from ich_tpu.train import checkpoint as ckpt
+from ich_tpu.train.state import TrainState, create_train_state, make_optimizer, make_schedule
+from ich_tpu.utils.config import LOSSES, TRAINERS
+from ich_tpu.utils.logging import print_progressbar, save_json
+
+logger = logging.getLogger(__name__)
+
+
+def _resolve_loss(loss_fn, loss_fn_kwargs) -> Callable:
+    if isinstance(loss_fn, str):
+        return LOSSES.build(loss_fn, **(loss_fn_kwargs or {}))
+    if callable(loss_fn) and loss_fn_kwargs:
+        return partial(loss_fn, **loss_fn_kwargs)
+    return loss_fn
+
+
+class UNet2D:
+    """Train/evaluate a 2D segmentation network slice-wise; score volumes.
+
+    Reference: ``code/src/models/optim/UNet2D.py:30-373``.
+    """
+
+    def __init__(
+        self,
+        unet,
+        n_epoch: int = 150,
+        batch_size: int = 16,
+        lr: float = 1e-3,
+        lr_scheduler: str = "ExponentialLR",
+        lr_scheduler_kwargs: Optional[dict] = None,
+        loss_fn="BinaryDiceLoss",
+        loss_fn_kwargs: Optional[dict] = None,
+        weight_decay: float = 1e-6,
+        augment_fn: Optional[Callable] = None,
+        seed: int = 0,
+        print_progress: bool = False,
+        checkpoint_freq: int = 10,
+        num_workers: int = 0,  # accepted for config parity; unused (no host workers)
+        device: Optional[str] = None,  # config parity; placement is mesh-driven
+    ):
+        self.unet = unet
+        self.n_epoch = n_epoch
+        self.batch_size = batch_size
+        self.lr = lr
+        self.lr_scheduler = lr_scheduler
+        self.lr_scheduler_kwargs = dict(lr_scheduler_kwargs or {"gamma": 0.95})
+        self.loss = _resolve_loss(loss_fn, dict(loss_fn_kwargs or {"reduction": "mean"}))
+        self.weight_decay = weight_decay
+        self.augment_fn = augment_fn
+        self.print_progress = print_progress
+        self.checkpoint_freq = checkpoint_freq
+        self.seed = seed
+
+        self.state: Optional[TrainState] = None
+        self._tx = None
+        self._pending_transfer = None  # variables to graft once initialized
+        self.outputs = {
+            "train": {"time": None, "evolution": None},
+            "eval": {"time": None, "dice": {"all": None, "positive": None}},
+        }
+
+    # -- state management ---------------------------------------------------
+
+    def _example_input(self, image_shape: Tuple[int, ...]) -> jnp.ndarray:
+        shape = (1,) + tuple(image_shape)
+        if len(image_shape) == 2:  # no channel axis in the dataset
+            shape = shape + (1,)
+        return jnp.zeros(shape, dtype=jnp.float32)
+
+    def _ensure_state(self, image_shape: Tuple[int, ...], steps_per_epoch: int) -> None:
+        if self._tx is None:
+            schedule = make_schedule(
+                self.lr_scheduler, self.lr, steps_per_epoch, **self.lr_scheduler_kwargs
+            )
+            self._tx = make_optimizer(schedule, weight_decay=self.weight_decay)
+        if self.state is None:
+            self.state = create_train_state(
+                self.unet,
+                jax.random.PRNGKey(self.seed),
+                self._example_input(image_shape),
+                self._tx,
+            )
+            if self._pending_transfer is not None:
+                self._apply_transfer(*self._pending_transfer)
+                self._pending_transfer = None
+
+    def _variables(self) -> dict:
+        return self.state.variables()
+
+    # -- jitted cores ---------------------------------------------------------
+
+    def _make_train_step(self):
+        net, loss_fn, tx, augment = self.unet, self.loss, self._tx, self.augment_fn
+        has_bn = self.state.batch_stats is not None
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, images, masks, key):
+            if images.ndim == 3:
+                images = images[..., None]
+            if masks.ndim == 3:
+                masks = masks[..., None]
+            aug_key, drop_key = jax.random.split(key)
+            if augment is not None:
+                images, masks = augment(aug_key, images, masks)
+
+            def compute_loss(params):
+                variables = {"params": params}
+                if has_bn:
+                    variables["batch_stats"] = state.batch_stats
+                out = net.apply(
+                    variables,
+                    images,
+                    train=True,
+                    rngs={"dropout": drop_key},
+                    mutable=["batch_stats"] if has_bn else [],
+                )
+                pred, mutated = out
+                loss = loss_fn(pred, masks)
+                return loss, mutated.get("batch_stats", None)
+
+            (loss, new_stats), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+            return (
+                TrainState(new_params, new_stats, new_opt, state.step + 1),
+                loss,
+            )
+
+        return train_step
+
+    def _make_eval_step(self, return_pred: bool):
+        net = self.unet
+
+        @jax.jit
+        def eval_step(variables, images, masks):
+            if images.ndim == 3:
+                images = images[..., None]
+            if masks.ndim == 3:
+                masks = masks[..., None]
+            pred = net.apply(variables, images, train=False)
+            pred_bin = (pred >= 0.5).astype(jnp.float32)
+            tn, fp, fn, tp = batch_binary_confusion_matrix(pred_bin, masks)
+            label = (masks.reshape(masks.shape[0], -1).max(axis=1) > 0).astype(jnp.int32)
+            if return_pred:
+                return tn, fp, fn, tp, label, pred_bin[..., 0].astype(jnp.uint8)
+            return tn, fp, fn, tp, label
+
+        return eval_step
+
+    # -- public API -----------------------------------------------------------
+
+    def train(
+        self,
+        dataset: SliceDataset2D,
+        valid_dataset: Optional[SliceDataset2D] = None,
+        checkpoint_path: Optional[str] = None,
+    ) -> None:
+        n = len(dataset)
+        steps_per_epoch = max(1, int(np.ceil(n / self.batch_size)))
+        self._ensure_state(dataset.image_shape, steps_per_epoch)
+        train_step = self._make_train_step()
+
+        n_epoch_finished, history = 0, []
+        if checkpoint_path:
+            restored = ckpt.load_checkpoint(checkpoint_path, self.state)
+            if restored is not None:
+                self.state, n_epoch_finished, history = restored
+                logger.info("Checkpoint loaded with %d epoch finished.", n_epoch_finished)
+            else:
+                logger.info("No Checkpoint found. Training from beginning.")
+
+        logger.info("Start training the U-Net 2.5D.")
+        root_key = jax.random.PRNGKey(self.seed)
+        host_rng = np.random.default_rng(self.seed)
+        # replay host RNG to keep shuffles deterministic across resume
+        for _ in range(n_epoch_finished):
+            host_rng.permutation(n)
+
+        images, masks = dataset.images, dataset.masks
+        on_device = isinstance(images, jax.Array)
+        start_time = time.time()
+
+        for epoch in range(n_epoch_finished, self.n_epoch):
+            epoch_loss, epoch_start, n_batch = 0.0, time.time(), 0
+            for b, idx in enumerate(
+                batch_indices(n, self.batch_size, shuffle=True, rng=host_rng)
+            ):
+                key = jax.random.fold_in(root_key, epoch * 100003 + b)
+                if on_device:
+                    bi, bm = jnp.take(images, idx, axis=0), jnp.take(masks, idx, axis=0)
+                else:
+                    bi, bm = images[idx], masks[idx]
+                self.state, loss = train_step(self.state, bi, bm, key)
+                epoch_loss += float(loss)
+                n_batch += 1
+                if self.print_progress:
+                    print_progressbar(b, steps_per_epoch, name="\t\tTrain Batch", erase=True)
+
+            valid_str = ""
+            v_all = v_pos = None
+            if valid_dataset is not None:
+                self.evaluate(valid_dataset, print_to_logger=False, save_path=None)
+                v_all = self.outputs["eval"]["dice"]["all"]
+                v_pos = self.outputs["eval"]["dice"]["positive"]
+                valid_str = (
+                    f"| Valid Dice: {v_all:.5f} | Valid Dice (Positive Slices): {v_pos:.5f} "
+                )
+            logger.info(
+                "\t| Epoch: %03d/%03d | Train time: %s | Train Loss: %.6f %s|",
+                epoch + 1,
+                self.n_epoch,
+                timedelta(seconds=int(time.time() - epoch_start)),
+                epoch_loss / n_batch,
+                valid_str,
+            )
+            history.append([epoch + 1, epoch_loss / n_batch, v_all, v_pos])
+            if checkpoint_path and (epoch + 1) % self.checkpoint_freq == 0:
+                ckpt.save_checkpoint(checkpoint_path, self.state, epoch + 1, history)
+                logger.info("\tCheckpoint saved.")
+
+        self.outputs["train"]["time"] = time.time() - start_time
+        self.outputs["train"]["evolution"] = history
+        logger.info(
+            "Finished training U-Net 2D in %s",
+            timedelta(seconds=int(self.outputs["train"]["time"])),
+        )
+
+    def evaluate(
+        self,
+        dataset: SliceDataset2D,
+        print_to_logger: bool = True,
+        save_path: Optional[str] = None,
+    ) -> "Any":
+        """Per-slice confusion counts on device; slice + volume Dice; CSV/bmp
+        artifacts matching the reference's (``UNet2D.py:183-270``). Returns
+        the per-slice pandas DataFrame."""
+        import pandas as pd
+
+        if self.state is None:
+            self._ensure_state(dataset.image_shape, steps_per_epoch=1)
+        eval_step = self._make_eval_step(return_pred=save_path is not None)
+        variables = self._variables()
+
+        n = len(dataset)
+        start_time = time.time()
+        if print_to_logger:
+            logger.info("Start evaluating the U-Net 2.5D.")
+
+        rows = {k: [] for k in ["volID", "slice", "label", "TP", "TN", "FP", "FN", "pred_fn"]}
+        images, masks = dataset.images, dataset.masks
+        on_device = isinstance(images, jax.Array)
+        batches = list(batch_indices(n, self.batch_size, shuffle=False, pad_wrap=True))
+        for b, idx in enumerate(batches):
+            valid = np.ones(len(idx), dtype=bool)
+            rem = n - b * self.batch_size
+            if rem < len(idx):  # wrap-padded tail: ignore duplicated entries
+                valid[rem:] = False
+            if on_device:
+                bi, bm = jnp.take(images, idx, axis=0), jnp.take(masks, idx, axis=0)
+            else:
+                bi, bm = images[idx], masks[idx]
+            out = eval_step(variables, bi, bm)
+            tn, fp, fn, tp, label = (np.asarray(o) for o in out[:5])
+            pred_fns = ["-"] * len(idx)
+            if save_path is not None:
+                pred = np.asarray(out[5])
+                from PIL import Image
+
+                for j in np.nonzero(valid)[0]:
+                    vid, snb = int(dataset.vol_ids[idx[j]]), int(dataset.slice_nbrs[idx[j]])
+                    os.makedirs(os.path.join(save_path, f"{vid}"), exist_ok=True)
+                    rel = f"{vid}/{snb}.bmp"
+                    Image.fromarray(pred[j] * 255).save(os.path.join(save_path, rel))
+                    pred_fns[j] = rel
+            for j in np.nonzero(valid)[0]:
+                rows["volID"].append(int(dataset.vol_ids[idx[j]]))
+                rows["slice"].append(int(dataset.slice_nbrs[idx[j]]))
+                rows["label"].append(int(label[j]))
+                rows["TP"].append(float(tp[j]))
+                rows["TN"].append(float(tn[j]))
+                rows["FP"].append(float(fp[j]))
+                rows["FN"].append(float(fn[j]))
+                rows["pred_fn"].append(pred_fns[j])
+            if self.print_progress:
+                print_progressbar(b, len(batches), name="\t\tEvaluation Batch", erase=True)
+
+        df = pd.DataFrame(rows)
+        df["Dice"] = (2 * df.TP + 1) / (2 * df.TP + df.FP + df.FN + 1)
+        if save_path:
+            df.to_csv(os.path.join(save_path, "slice_prediction_scores.csv"))
+
+        df3d = (
+            df[["volID", "label", "TP", "TN", "FP", "FN"]]
+            .groupby("volID")
+            .agg({"label": "max", "TP": "sum", "TN": "sum", "FP": "sum", "FN": "sum"})
+        )
+        df3d["Dice"] = (2 * df3d.TP + 1) / (2 * df3d.TP + df3d.FP + df3d.FN + 1)
+        if save_path:
+            df3d.to_csv(os.path.join(save_path, "volume_prediction_scores.csv"))
+
+        avg_ich = df3d.loc[df3d.label == 1, "Dice"].mean(axis=0)
+        avg_all = df3d.Dice.mean(axis=0)
+        self.outputs["eval"]["time"] = time.time() - start_time
+        self.outputs["eval"]["dice"] = {"all": float(avg_all), "positive": float(avg_ich)}
+        if print_to_logger:
+            logger.info("Evaluation time: %s", timedelta(seconds=int(self.outputs["eval"]["time"])))
+            logger.info("Evaluation Dice: %.5f.", avg_all)
+            logger.info("Evaluation Dice (Positive only): %.5f.", avg_ich)
+        return df
+
+    # -- full-volume inference ----------------------------------------------
+
+    def _make_segment_volume_fn(self, in_hw, z_pad, input_size, window):
+        net, bs = self.unet, self.batch_size
+
+        @jax.jit
+        def run(variables, vol):  # vol: (H, W, Zp) raw units
+            x = jnp.rot90(vol, axes=(0, 1))  # 90° ccw, reference :286
+            if window is not None:
+                x = ct.window_ct(x, window[0], window[1], (0.0, 1.0))
+            x = ct.resize(x, (input_size[0], input_size[1], x.shape[2]), order=1)
+            x = jnp.transpose(x, (2, 0, 1))[..., None]  # (Zp, h, w, 1)
+            x = x.reshape(z_pad // bs, bs, *input_size, 1)
+
+            def apply_batch(xb):
+                pred = net.apply(variables, xb, train=False)
+                return (pred >= 0.5).astype(jnp.uint8)[..., 0]
+
+            pred = jax.lax.map(apply_batch, x)  # (Zp/bs, bs, h, w)
+            pred = pred.reshape(z_pad, *input_size)
+            pred = jnp.transpose(pred, (1, 2, 0))  # (h, w, Zp)
+            pred = ct.resize_nearest(pred, (in_hw[0], in_hw[1], z_pad))
+            return jnp.rot90(pred, axes=(1, 0))  # rotate back
+
+        return run
+
+    def segment_volume(
+        self,
+        vol_data: np.ndarray,
+        affine: Optional[np.ndarray] = None,
+        save_fn: Optional[str] = None,
+        window: Optional[Tuple[float, float]] = None,
+        input_size: Tuple[int, int] = (256, 256),
+        return_pred: bool = False,
+    ):
+        """Segment every slice of an (H, W, Z) volume on device in one jitted
+        program (reference ``segement_volume``, ``UNet2D.py:272-314``).
+        Returns a uint8 {0,255} volume; optionally writes NIfTI."""
+        if self.state is None:
+            self._ensure_state(tuple(input_size), steps_per_epoch=1)
+        h, w, z = vol_data.shape
+        z_pad = int(np.ceil(z / self.batch_size) * self.batch_size)
+        vol = np.zeros((h, w, z_pad), dtype=np.float32)
+        vol[:, :, :z] = vol_data
+        run = self._make_segment_volume_fn((h, w), z_pad, tuple(input_size), window)
+        pred = np.asarray(run(self._variables(), jnp.asarray(vol)))[:, :, :z]
+        pred = (pred * 255).astype(np.uint8)
+        if save_fn:
+            from ich_tpu.data import nifti
+
+            nifti.save(save_fn, pred, affine if affine is not None else np.eye(4))
+        if return_pred:
+            return pred
+
+    # reference-name alias (the reference misspells it; keep both)
+    segement_volume = segment_volume
+
+    # -- weights --------------------------------------------------------------
+
+    def transfer_weights(self, source_variables: dict, verbose: bool = False) -> list:
+        """Key-intersection transfer from another model's variables
+        (reference ``UNet2D.py:316-337``)."""
+        if self.state is None:
+            self._pending_transfer = (source_variables, verbose)
+            return []
+        return self._apply_transfer(source_variables, verbose)
+
+    def _apply_transfer(self, source_variables: dict, verbose: bool) -> list:
+        src_params = source_variables.get("params", source_variables)
+        new_params, moved = ckpt.transfer_weights(self.state.params, src_params, verbose)
+        new_stats = self.state.batch_stats
+        if "batch_stats" in source_variables and new_stats is not None:
+            new_stats, moved_bs = ckpt.transfer_weights(
+                new_stats, source_variables["batch_stats"], verbose
+            )
+            moved += moved_bs
+        self.state = self.state.replace(params=new_params, batch_stats=new_stats)
+        return moved
+
+    def get_state_dict(self) -> dict:
+        return jax.tree_util.tree_map(np.asarray, self._variables())
+
+    def save_model(self, export_fn: str) -> None:
+        ckpt.save_params(export_fn, self._variables())
+
+    def load_model(self, import_fn: str, image_shape: Tuple[int, ...] = (256, 256)) -> None:
+        if self.state is None:
+            self._ensure_state(image_shape, steps_per_epoch=1)
+        loaded = ckpt.load_params(import_fn, self._variables())
+        self.state = self.state.replace(
+            params=loaded["params"], batch_stats=loaded.get("batch_stats")
+        )
+
+    def save_outputs(self, export_fn: str) -> None:
+        save_json(export_fn, self.outputs)
+
+
+TRAINERS.add("UNet2D", UNet2D)
