@@ -1,0 +1,70 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ich_tpu.ops.sliding_window import (
+    gaussian_importance_map,
+    make_patch_coords,
+    patch_grid,
+    sliding_window_inference,
+)
+
+
+def test_patch_grid_coverage():
+    g = patch_grid(100, 32, 16)
+    assert g[0] == 0 and g[-1] == 100 - 32
+    # every voxel covered
+    cover = np.zeros(100, dtype=bool)
+    for s in g:
+        cover[s : s + 32] = True
+    assert cover.all()
+    assert patch_grid(16, 32, 16).tolist() == [0]
+
+
+def test_make_patch_coords():
+    c = make_patch_coords((64, 64, 64), (32, 32, 32), overlap=0.5)
+    assert c.shape[1] == 3
+    assert (c >= 0).all()
+    assert (c <= 32).all()
+    # 3 positions per axis (0, 16, 32) -> 27 patches
+    assert len(c) == 27
+
+
+def test_gaussian_map_properties():
+    g = np.asarray(gaussian_importance_map((16, 16, 16)))
+    assert g.max() == 1.0
+    assert g.min() > 0
+    assert g[8, 8, 8] > g[0, 0, 0]
+
+
+def test_identity_network_blends_to_identity():
+    """With apply_fn == identity, blended output must equal the input
+    wherever patches overlap (weights normalize out)."""
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(size=(24, 24, 24)).astype(np.float32)
+    apply_fn = lambda variables, x: x
+    out = sliding_window_inference(
+        apply_fn, {}, jnp.asarray(vol), patch_size=(16, 16, 16), overlap=0.5, batch_size=2
+    )
+    np.testing.assert_allclose(np.asarray(out)[..., 0], vol, atol=1e-4)
+
+
+def test_small_volume_padding():
+    vol = np.ones((10, 20, 20), dtype=np.float32)
+    apply_fn = lambda v, x: x * 0.5
+    out = sliding_window_inference(apply_fn, {}, jnp.asarray(vol), patch_size=(16, 16, 16), batch_size=1)
+    assert out.shape == (10, 20, 20, 1)
+    np.testing.assert_allclose(np.asarray(out)[..., 0], 0.5, atol=1e-5)
+
+
+def test_with_real_3d_unet():
+    from ich_tpu.models import UNet
+
+    net = UNet(depth=2, ndim=3, top_filter=4, p_dropout=0.0)
+    vol = jnp.asarray(np.random.default_rng(1).uniform(size=(20, 24, 24, 1)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)))
+    apply_fn = lambda v, x: net.apply(v, x, train=False)
+    out = sliding_window_inference(apply_fn, variables, vol, patch_size=(16, 16, 16), batch_size=2)
+    assert out.shape == (20, 24, 24, 1)
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and (o >= 0).all() and (o <= 1).all()
