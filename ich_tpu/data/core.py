@@ -98,6 +98,30 @@ class SliceDataset2D:
 
 
 @dataclasses.dataclass
+class LabeledSliceDataset:
+    """Slices + labels for classification pretraining / SSL: images
+    (N, H, W[, C]) float32, labels (N,) int or (N, K) multilabel float.
+    The schema of the reference's RSNA classification modes
+    (``datasets.py:320-422``)."""
+
+    images: np.ndarray
+    labels: np.ndarray
+
+    def __post_init__(self):
+        self.images = np.asarray(self.images, dtype=np.float32)
+        self.labels = np.asarray(self.labels)
+        if len(self.images) != len(self.labels):
+            raise ValueError("images/labels lengths differ")
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    @property
+    def image_shape(self) -> Tuple[int, ...]:
+        return self.images.shape[1:]
+
+
+@dataclasses.dataclass
 class VolumeDataset3D:
     """Dense 3D dataset: list of (volume (D, H, W), mask (D, H, W), vol_id).
     Volumes may have different depths; patch sampling makes batches static."""

@@ -67,6 +67,30 @@ def synthetic_ich_slices(
     return SliceDataset2D(images, masks, vol_ids, slice_nbrs)
 
 
+def synthetic_rsna_slices(
+    n_slices: int = 128, size: int = 64, seed: int = 0, positive_frac: float = 0.4
+):
+    """Slices with binary ICH labels + 7-way multilabel vectors (column 0 =
+    'any', like the RSNA stage-2 schema the reference pivots in
+    ``generate_RSNA_csv.py``). Returns a LabeledSliceDataset whose labels
+    are (N, 7); use ``labels[:, 0]`` as the binary target."""
+    from ich_tpu.data.core import LabeledSliceDataset
+
+    ds = synthetic_ich_slices(
+        n_slices=n_slices, size=size, n_volumes=max(1, n_slices // 8),
+        seed=seed, positive_frac=positive_frac,
+    )
+    rng = np.random.default_rng(seed + 1)
+    has_ich = (ds.masks.reshape(n_slices, -1).max(axis=1) > 0).astype(np.float32)
+    subtype = rng.integers(0, 5, size=n_slices)
+    labels = np.zeros((n_slices, 7), dtype=np.float32)
+    labels[:, 0] = has_ich
+    for i in range(n_slices):
+        if has_ich[i]:
+            labels[i, 1 + subtype[i]] = 1.0
+    return LabeledSliceDataset(ds.images, labels)
+
+
 def synthetic_ich_volume(
     size: int = 64, depth: int = 32, seed: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:

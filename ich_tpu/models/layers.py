@@ -62,6 +62,9 @@ class Norm(nn.Module):
 class ConvBlock(nn.Module):
     """Double [Conv -> Norm -> ReLU] with optional trailing dropout
     (reference ``UNet.py:129-177``). Rank-agnostic: ``ndim`` selects 2D/3D.
+    With ``gated=True`` each conv becomes a gated conv (feature ×
+    sigmoid(gate), Yu 2019) — the reference's GatedUNet variant
+    (``GatedUNet.py:121-320``) used by the attention-U-Net workload.
     """
 
     out_channels: int
@@ -70,17 +73,25 @@ class ConvBlock(nn.Module):
     ndim: int = 2
     p_dropout: float = 0.0
     norm: str = "batch"
+    gated: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
+
+    def _conv(self, x, ch, k, name):
+        if self.gated:
+            out = nn.Conv(2 * ch, k, padding="SAME", dtype=self.dtype, name=name)(x)
+            feat, gate = jnp.split(out, 2, axis=-1)
+            return feat * jax.nn.sigmoid(gate)
+        return nn.Conv(ch, k, padding="SAME", dtype=self.dtype, name=name)(x)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         mid = self.mid_channels or self.out_channels
         k = (self.kernel_size,) * self.ndim
-        x = nn.Conv(mid, k, padding="SAME", dtype=self.dtype, name="conv1")(x)
+        x = self._conv(x, mid, k, "conv1")
         x = Norm(self.norm, axis_name=self.axis_name, name="bn1")(x, train)
         x = nn.relu(x)
-        x = nn.Conv(self.out_channels, k, padding="SAME", dtype=self.dtype, name="conv2")(x)
+        x = self._conv(x, self.out_channels, k, "conv2")
         x = Norm(self.norm, axis_name=self.axis_name, name="bn2")(x, train)
         x = nn.relu(x)
         if self.p_dropout > 0.0:

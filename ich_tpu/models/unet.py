@@ -55,6 +55,7 @@ class _Encoder(nn.Module):
     midchannels_factor: int = 2
     p_dropout: Union[float, Sequence[float]] = 0.5
     norm: str = "batch"
+    gated: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
@@ -70,6 +71,7 @@ class _Encoder(nn.Module):
                 ndim=self.ndim,
                 p_dropout=p_drop[i],
                 norm=self.norm,
+                gated=self.gated,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 name=f"down_{i}",
@@ -82,6 +84,7 @@ class _Encoder(nn.Module):
             ndim=self.ndim,
             p_dropout=p_drop[-1],
             norm=self.norm,
+            gated=self.gated,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="bottleneck",
@@ -98,6 +101,7 @@ class _Decoder(nn.Module):
     top_filter: int = 64
     bilinear: bool = False
     norm: str = "batch"
+    gated: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
@@ -117,6 +121,7 @@ class _Decoder(nn.Module):
                 mid_channels=ch,
                 ndim=self.ndim,
                 norm=self.norm,
+                gated=self.gated,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 name=f"up_{i}",
@@ -142,6 +147,7 @@ class UNet(nn.Module):
     p_dropout: Union[float, Sequence[float]] = 0.5
     use_final_activation: bool = True
     norm: str = "batch"
+    gated: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
@@ -156,6 +162,7 @@ class UNet(nn.Module):
             midchannels_factor=self.midchannels_factor,
             p_dropout=self.p_dropout,
             norm=self.norm,
+            gated=self.gated,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="encoder",
@@ -167,6 +174,7 @@ class UNet(nn.Module):
             top_filter=self.top_filter,
             bilinear=self.bilinear,
             norm=self.norm,
+            gated=self.gated,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="decoder",
@@ -275,6 +283,13 @@ def _unet_from_config(use_3D: bool = False, in_channels: int = 1, **kw) -> UNet:
 
 
 NETWORKS.add("UNet", _unet_from_config)
+NETWORKS.add(
+    "GatedUNet",
+    lambda use_3D=False, in_channels=2, **kw: UNet(
+        ndim=3 if use_3D else 2, gated=True,
+        **{k: v for k, v in kw.items() if k not in ("in_channels",)},
+    ),
+)
 NETWORKS.add(
     "UNet_Encoder",
     lambda use_3D=False, in_channels=1, MLP_head=(256, 128), **kw: UNetEncoder(

@@ -1,5 +1,8 @@
 from ich_tpu.train.state import TrainState, create_train_state, make_optimizer
 from ich_tpu.train.segmentation2d import UNet2D
+from ich_tpu.train.segmentation3d import UNet3D
+from ich_tpu.train.ssl import ContextRestoration, Contrastive
+from ich_tpu.train.classifier import BinaryClassifier, MultiClassifier
 from ich_tpu.train.checkpoint import (
     load_checkpoint,
     load_params,
@@ -9,6 +12,12 @@ from ich_tpu.train.checkpoint import (
 )
 
 __all__ = [
+    "UNet2D",
+    "UNet3D",
+    "ContextRestoration",
+    "Contrastive",
+    "BinaryClassifier",
+    "MultiClassifier",
     "TrainState",
     "create_train_state",
     "make_optimizer",

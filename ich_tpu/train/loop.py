@@ -1,0 +1,75 @@
+"""Shared host-side epoch loop with crash-resume.
+
+Every reference trainer repeats the same skeleton: resume-from-checkpoint
+try/except, epoch loop with per-epoch log line, periodic checkpoint
+(SURVEY §2.5). Here it is once, as a function over a pure jitted step.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from datetime import timedelta
+from typing import Any, Callable, Iterable, Optional, Tuple
+
+import jax
+
+from ich_tpu.train import checkpoint as ckpt
+
+logger = logging.getLogger(__name__)
+
+
+def fit(
+    state: Any,
+    train_step: Callable,  # (state, batch, key) -> (state, loss)
+    batches_fn: Callable[[int], Iterable],  # epoch -> iterable of batches
+    n_epoch: int,
+    seed: int = 0,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_freq: int = 10,
+    validate_fn: Optional[Callable[[Any, int], Tuple[str, list]]] = None,
+    name: str = "model",
+) -> Tuple[Any, list, float]:
+    """Run the training loop; returns (state, history, wall_time).
+
+    ``validate_fn(state, epoch)`` may return (log_suffix, extra_columns).
+    History rows are ``[epoch+1, mean_loss, *extra_columns]``.
+    """
+    n_epoch_finished, history = 0, []
+    if checkpoint_path:
+        restored = ckpt.load_checkpoint(checkpoint_path, state)
+        if restored is not None:
+            state, n_epoch_finished, history = restored
+            logger.info("Checkpoint loaded with %d epoch finished.", n_epoch_finished)
+        else:
+            logger.info("No Checkpoint found. Training from beginning.")
+
+    logger.info("Start training the %s.", name)
+    root_key = jax.random.PRNGKey(seed)
+    start_time = time.time()
+
+    for epoch in range(n_epoch_finished, n_epoch):
+        epoch_loss, n_batch, epoch_start = 0.0, 0, time.time()
+        for b, batch in enumerate(batches_fn(epoch)):
+            key = jax.random.fold_in(root_key, epoch * 100003 + b)
+            state, loss = train_step(state, batch, key)
+            epoch_loss += float(loss)
+            n_batch += 1
+        mean_loss = epoch_loss / max(n_batch, 1)
+
+        suffix, extra = "", []
+        if validate_fn is not None:
+            suffix, extra = validate_fn(state, epoch)
+        logger.info(
+            "\t| Epoch: %03d/%03d | Train time: %s | Train Loss: %.6f %s|",
+            epoch + 1, n_epoch,
+            timedelta(seconds=int(time.time() - epoch_start)), mean_loss, suffix,
+        )
+        history.append([epoch + 1, mean_loss] + list(extra))
+        if checkpoint_path and (epoch + 1) % checkpoint_freq == 0:
+            ckpt.save_checkpoint(checkpoint_path, state, epoch + 1, history)
+            logger.info("\tCheckpoint saved.")
+
+    wall = time.time() - start_time
+    logger.info("Finished training %s in %s", name, timedelta(seconds=int(wall)))
+    return state, history, wall

@@ -126,15 +126,18 @@ class UNet2D:
 
     # -- jitted cores ---------------------------------------------------------
 
+    _spatial_ndim = 2  # 3 in the volumetric subclass
+
     def _make_train_step(self):
         net, loss_fn, tx, augment = self.unet, self.loss, self._tx, self.augment_fn
         has_bn = self.state.batch_stats is not None
+        chan_rank = 1 + self._spatial_ndim  # batched, channel-less rank
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, images, masks, key):
-            if images.ndim == 3:
+            if images.ndim == chan_rank:
                 images = images[..., None]
-            if masks.ndim == 3:
+            if masks.ndim == chan_rank:
                 masks = masks[..., None]
             aug_key, drop_key = jax.random.split(key)
             if augment is not None:
@@ -169,12 +172,13 @@ class UNet2D:
 
     def _make_eval_step(self, return_pred: bool):
         net = self.unet
+        chan_rank = 1 + self._spatial_ndim
 
         @jax.jit
         def eval_step(variables, images, masks):
-            if images.ndim == 3:
+            if images.ndim == chan_rank:
                 images = images[..., None]
-            if masks.ndim == 3:
+            if masks.ndim == chan_rank:
                 masks = masks[..., None]
             pred = net.apply(variables, images, train=False)
             pred_bin = (pred >= 0.5).astype(jnp.float32)

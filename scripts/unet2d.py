@@ -1,0 +1,29 @@
+"""Supervised 2D U-Net ICH segmentation CLI.
+
+Usage: ``python scripts/unet2d.py CONFIG.json`` — same one-JSON-argument
+surface as the reference's ``scripts/unet-2D/UNet2D_scripts.py:35-37`` and
+the same config schema (``UNet2D_config.json``).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import click
+
+from ich_tpu.utils.config import AttrDict
+
+
+@click.command()
+@click.argument("config_path", type=click.Path(exists=True))
+def main(config_path):
+    from ich_tpu.experiments import run_supervised_2d
+
+    cfg = AttrDict.from_json_path(config_path).to_dict()
+    out = run_supervised_2d(cfg)
+    click.echo(f"Experiment artifacts written to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Shape/behavior tests for the remaining network families."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ich_tpu.models import (
+    AENet,
+    ContextualAttention,
+    FCDD_CNN_VGG,
+    GatedGenerator,
+    PatchDiscriminator,
+    SAGatedGenerator,
+    SelfAttention,
+    UNet,
+    receptive_upsample,
+    resnet18,
+    resnet50,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_ae_shapes_and_tanh_range():
+    net = AENet(latent_channels=8, bottleneck_channels=8, n_conv=2, kernel_size=3)
+    x = jnp.zeros((2, 32, 32, 1))
+    v = net.init(KEY, x)
+    out, z = net.apply(v, x, return_bottleneck=True)
+    assert out.shape == (2, 32, 32, 1)
+    assert z.shape == (2, 4, 4, 8)  # 3 stride-2 convs: 32 -> 4
+    o = np.asarray(out)
+    assert (o >= -1).all() and (o <= 1).all()
+
+
+def test_ae_bilinear_decoder():
+    net = AENet(latent_channels=4, bottleneck_channels=4, n_conv=2, bilinear=True, kernel_size=3)
+    v = net.init(KEY, jnp.zeros((1, 16, 16, 1)))
+    out = net.apply(v, jnp.zeros((1, 16, 16, 1)))
+    assert out.shape == (1, 16, 16, 1)
+
+
+@pytest.mark.parametrize("factory,blocks", [(resnet18, 8), (resnet50, 16)])
+def test_resnet_shapes(factory, blocks):
+    net = factory(num_classes=2)
+    x = jnp.zeros((2, 64, 64, 1))
+    v = net.init(KEY, x)
+    logits, feats = net.apply(v, x, return_features=True)
+    assert logits.shape == (2, 2)
+    exp_feats = 512 if factory is resnet18 else 2048
+    assert feats.shape == (2, exp_feats)
+
+
+def test_gated_unet():
+    net = UNet(depth=3, top_filter=4, gated=True, p_dropout=0.0)
+    x = jnp.zeros((1, 32, 32, 2))  # image + attention channel
+    v = net.init(KEY, x)
+    y = net.apply(v, x)
+    assert y.shape == (1, 32, 32, 1)
+    # gated convs have doubled output channels in kernels
+    kern = v["params"]["encoder"]["down_0"]["conv1"]["kernel"]
+    assert kern.shape[-1] == 2 * (4 // 2)  # 2 * mid_channels
+
+
+def test_fcdd_score_map_and_heatmap():
+    net = FCDD_CNN_VGG()
+    x = jnp.zeros((1, 64, 64, 1))
+    v = net.init(KEY, x)
+    scores = net.apply(v, x)
+    assert scores.shape == (1, 8, 8, 1)  # 3 pools: /8
+    feats = net.apply(v, x, ad=False)
+    assert feats.shape == (1, 8, 8, 512)
+    heat = FCDD_CNN_VGG.heatmap(scores, (64, 64))
+    assert heat.shape == (1, 64, 64, 1)
+    assert np.isfinite(np.asarray(heat)).all()
+
+
+def test_receptive_upsample_constant():
+    """A constant score map must upsample to (approximately) that constant —
+    overlap normalization check."""
+    s = jnp.full((1, 4, 4, 1), 2.5)
+    up = receptive_upsample(s, (32, 32))
+    np.testing.assert_allclose(np.asarray(up), 2.5, atol=1e-4)
+
+
+def test_self_attention_identity_at_init():
+    """gamma init 0 -> module is the identity at initialization."""
+    m = SelfAttention()
+    x = jax.random.normal(KEY, (2, 8, 8, 16))
+    v = m.init(KEY, x)
+    y = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_contextual_attention_reconstructs_from_bg():
+    """With fg == bg and a tiny softmax scale... basic: output finite, right
+    shape; with very peaked softmax and fg==bg each pixel attends to its own
+    patch -> output close to bg itself."""
+    ca = ContextualAttention(kernel_size=3, softmax_scale=1000.0)
+    x = jax.random.normal(KEY, (1, 12, 12, 4))
+    v = ca.init(KEY, x, x)
+    out = ca.apply(v, x, x)
+    assert out.shape == x.shape
+    # interior should be close to the input (self-attention to own patch)
+    d = np.abs(np.asarray(out) - np.asarray(x))[:, 2:-2, 2:-2, :]
+    assert d.mean() < 0.15
+
+
+def test_gated_generator_masked_region_only():
+    g = GatedGenerator(lat_channels=4, context_attention=True, return_coarse=True)
+    img = jax.random.uniform(KEY, (1, 32, 32, 1))
+    mask = jnp.zeros((1, 32, 32, 1)).at[:, 8:16, 8:16, :].set(1.0)
+    v = g.init(KEY, img, mask)
+    fine, coarse = g.apply(v, img, mask)
+    assert fine.shape == img.shape and coarse.shape == img.shape
+    assert (np.asarray(fine) >= 0).all() and (np.asarray(fine) <= 1).all()
+
+
+def test_sa_gated_generator_and_discriminator():
+    g = SAGatedGenerator(lat_channels=4)
+    img = jax.random.uniform(KEY, (1, 32, 32, 1))
+    mask = jnp.zeros((1, 32, 32, 1)).at[:, 4:12, 4:12, :].set(1.0)
+    v = g.init(KEY, img, mask)
+    fine, coarse = g.apply(v, img, mask)
+    assert fine.shape == img.shape
+
+    d = PatchDiscriminator(out_channels=(8, 16, 16), kernel_size=5, stride=2)
+    vd = d.init(KEY, img, mask)
+    s = d.apply(vd, img, mask)
+    assert s.shape == (1, 8, 8, 16)
+    assert "spectral_stats" in vd
+
+
+def test_spectral_norm_constrains_weights():
+    """After spectral-stat updates the effective conv weight has unit top
+    singular value (approximately)."""
+    d = PatchDiscriminator(out_channels=(8, 8), kernel_size=3, stride=2,
+                           self_attention=False, norm=False)
+    img = jax.random.uniform(KEY, (2, 16, 16, 1))
+    mask = jnp.zeros((2, 16, 16, 1))
+    v = d.init(KEY, img, mask)
+    # run a few updates of the power iteration
+    for i in range(5):
+        _, upd = d.apply(v, img, mask, train=True, mutable=["spectral_stats", "batch_stats"])
+        v = {**v, **upd}
+    out1 = d.apply(v, img, mask)
+    assert np.isfinite(np.asarray(out1)).all()

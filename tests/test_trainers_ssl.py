@@ -1,0 +1,144 @@
+"""Smoke + behavior tests: 3D trainer, context restoration, contrastive,
+classifiers — the SSL pretrain → fine-tune bridge end to end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ich_tpu.data import (
+    LabeledSliceDataset,
+    VolumeDataset3D,
+    synthetic_ich_slices,
+    synthetic_ich_volume,
+    synthetic_rsna_slices,
+)
+from ich_tpu.models import PartialUNet, UNet, UNetEncoder
+from ich_tpu.train import (
+    BinaryClassifier,
+    ContextRestoration,
+    Contrastive,
+    MultiClassifier,
+    UNet2D,
+    UNet3D,
+)
+
+
+def _vol_dataset(n=3, size=24, depth=16):
+    vols, masks = [], []
+    for i in range(n):
+        v, m = synthetic_ich_volume(size=size, depth=depth, seed=i)
+        # (H, W, D) -> (D, H, W)
+        vols.append(np.transpose(v, (2, 0, 1)) / 200.0 + 0.25)
+        masks.append(np.transpose(m, (2, 0, 1)))
+    return VolumeDataset3D(vols, masks, np.arange(n))
+
+
+def test_unet3d_train_eval():
+    ds = _vol_dataset()
+    net = UNet(depth=2, ndim=3, top_filter=4, p_dropout=0.0, norm="group")
+    t = UNet3D(
+        net, patch_size=(8, 16, 16), steps_per_epoch=4, n_epoch=2,
+        batch_size=4, lr=3e-3, sw_batch_size=2,
+        loss_fn_kwargs={"reduction": "mean", "p": 2, "alpha": 0.2},
+    )
+    t.train(ds)
+    assert len(t.outputs["train"]["evolution"]) == 2
+    df = t.evaluate(ds, print_to_logger=False)
+    assert len(df) == 3
+    assert {"Dice", "IoU"} <= set(df.columns)
+    assert t.outputs["eval"]["iou"]["all"] is not None
+    pred = t.predict_volume(ds.volumes[0])
+    assert pred.shape == ds.volumes[0].shape
+    assert set(np.unique(pred)) <= {0, 1}
+
+
+def test_context_restoration_and_transfer():
+    data = synthetic_ich_slices(n_slices=32, size=32, n_volumes=4, seed=0)
+    net = UNet(depth=3, top_filter=4, p_dropout=0.0, use_final_activation=False)
+    cr = ContextRestoration(
+        net, n_swap=3, swap_w=(4, 8), swap_h=(4, 8), swap_rotate=True,
+        n_epoch=2, batch_size=8, lr=1e-3,
+    )
+    cr.train(data)
+    hist = cr.outputs["train"]["evolution"]
+    assert len(hist) == 2 and hist[1][1] <= hist[0][1] * 1.5
+    # representation eval: t-SNE payload
+    labels = (data.masks.reshape(len(data), -1).max(1) > 0).astype(int)
+    emb = cr.evaluate_representation(data, labels=labels, max_samples=32)
+    assert emb.shape == (32, 2)
+    assert np.asarray(cr.outputs["eval"]["repr"]).shape == (32, 3)
+
+    # pretrain -> fine-tune bridge
+    ft = UNet2D(UNet(depth=3, top_filter=4, p_dropout=0.0), n_epoch=1, batch_size=8)
+    ft._ensure_state(data.image_shape, 1)
+    moved = ft.transfer_weights(cr.get_state_dict(), verbose=True)
+    assert any("encoder" in k for k in moved)
+    src = cr.get_state_dict()["params"]["encoder"]["down_0"]["conv1"]["kernel"]
+    dst = np.asarray(ft.state.params["encoder"]["down_0"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(np.asarray(src), dst)
+
+
+def test_global_contrastive():
+    data = synthetic_ich_slices(n_slices=32, size=32, n_volumes=4, seed=1)
+    enc = UNetEncoder(depth=3, top_filter=4, mlp_head=(16, 8), p_dropout=0.0)
+    c = Contrastive(enc, is_global=True, tau=0.5, n_epoch=2, batch_size=16, lr=1e-3)
+    c.train(data)
+    hist = c.outputs["train"]["evolution"]
+    assert len(hist) == 2
+    assert np.isfinite(hist[0][1])
+    # NT-Xent at init should be near ln(2N-1); training should not explode
+    assert hist[1][1] < hist[0][1] + 0.5
+
+
+def test_local_contrastive_with_frozen_transfer():
+    data = synthetic_ich_slices(n_slices=16, size=32, n_volumes=2, seed=2)
+    enc = UNetEncoder(depth=3, top_filter=4, mlp_head=(16, 8), p_dropout=0.0)
+    enc_vars = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+
+    part = PartialUNet(depth=3, n_decoder=1, top_filter=4, head_channel=(8, 4), p_dropout=0.0)
+    c = Contrastive(part, is_global=False, tau=0.5, K=2, n_region=4,
+                    n_epoch=1, batch_size=8, lr=1e-3)
+    c._ensure_state(data.image_shape, 1)
+    moved = c.transfer_weights(enc_vars, freeze=True, verbose=True)
+    assert len(moved) > 0
+    frozen_before = np.asarray(c.state.params["encoder"]["down_0"]["conv1"]["kernel"]).copy()
+    c.train(data)
+    frozen_after = np.asarray(c.state.params["encoder"]["down_0"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(frozen_before, frozen_after)  # frozen
+    assert np.isfinite(c.outputs["train"]["evolution"][0][1])
+
+
+def test_binary_classifier():
+    ds = synthetic_rsna_slices(n_slices=64, size=32, seed=3)
+    data = LabeledSliceDataset(ds.images, ds.labels[:, 0].astype(np.int32))
+    enc = UNetEncoder(depth=3, top_filter=8, mlp_head=(16, 2), p_dropout=0.0)
+    clf = BinaryClassifier(enc, n_epoch=4, batch_size=16, lr=3e-3,
+                           class_weight=(1.0, 1.0))
+    clf.train(data, valid_dataset=data)
+    m = clf.evaluate(data, print_to_logger=False)
+    assert set(m) >= {"auc", "accuracy", "recall", "precision", "f1"}
+    assert m["auc"] > 0.6  # separable synthetic data: learns something
+    scores = clf.predict_scores(data.images[:8])
+    assert scores.shape == (8,)
+
+
+def test_multi_classifier():
+    ds = synthetic_rsna_slices(n_slices=48, size=32, seed=4)
+    enc = UNetEncoder(depth=3, top_filter=4, mlp_head=(16, 7), p_dropout=0.0)
+    clf = MultiClassifier(enc, n_epoch=2, batch_size=16, lr=1e-3)
+    clf.train(ds)
+    m = clf.evaluate(ds, print_to_logger=False)
+    assert set(m) >= {"subset_accuracy", "f1_macro", "auc_macro"}
+    assert np.isfinite(clf.outputs["train"]["evolution"][-1][1])
+
+
+def test_label_fraction_subset():
+    """The label-efficiency sweep machinery: training on a fraction of
+    labels must be a strict subset."""
+    data = synthetic_ich_slices(n_slices=40, size=32, n_volumes=5, seed=5)
+    rng = np.random.default_rng(0)
+    idx = rng.permutation(len(data))[: int(0.25 * len(data))]
+    sub = data.subset(idx)
+    assert len(sub) == 10
+    assert sub.images.shape[1:] == data.images.shape[1:]
