@@ -1,0 +1,218 @@
+"""Pretrain → fine-tune experiment drivers + label-efficiency sweep.
+
+Behavioral mirrors of the reference's SSL script layer (SURVEY §2.7):
+``ContextRestoration_UNet2D_scripts.py`` (SSL phase then 10-fold supervised
+fine-tune via ``transfer_weights``, ``:310-312``),
+``Contrastive_UNet2D_scripts.py`` (global InfoNCE → optional local InfoNCE
+with frozen transferred encoder ``:214-217`` → fine-tune), and the
+classification-pretraining scripts. The label-efficiency sweep (BASELINE
+config 5) fine-tunes at several label fractions from one pretrained
+encoder.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Callable, Dict, Optional, Sequence
+
+import numpy as np
+
+from ich_tpu.data.core import LabeledSliceDataset, SliceDataset2D
+from ich_tpu.experiments.supervised2d import build_unet_from_cfg, run_supervised_2d
+from ich_tpu.models.unet import PartialUNet, UNet, UNetEncoder
+from ich_tpu.train.classifier import BinaryClassifier, MultiClassifier
+from ich_tpu.train.ssl import ContextRestoration, Contrastive
+from ich_tpu.utils.logging import setup_logger
+
+logger = logging.getLogger(__name__)
+
+
+def pretrain_context_restoration(cfg: dict, dataset) -> dict:
+    """Phase 1 of the CR workflow; returns the pretrained variables."""
+    net_cfg = dict(cfg["net"])
+    net_cfg["use_final_activation"] = False
+    net = build_unet_from_cfg(net_cfg)
+    tr = cfg["train"]
+    cr = ContextRestoration(
+        net,
+        n_swap=cfg.get("corruption", {}).get("n_swap", 10),
+        swap_w=cfg.get("corruption", {}).get("swap_w", (10, 30)),
+        swap_h=cfg.get("corruption", {}).get("swap_h", (10, 30)),
+        swap_rotate=cfg.get("corruption", {}).get("rotate", True),
+        n_epoch=tr["n_epoch"], batch_size=tr["batch_size"], lr=tr["lr"],
+        lr_scheduler=tr.get("lr_scheduler", "ExponentialLR"),
+        lr_scheduler_kwargs=tr.get("lr_scheduler_kwargs", {"gamma": 0.95}),
+        weight_decay=tr.get("weight_decay", 1e-6),
+        seed=cfg.get("seed", 42),
+    )
+    out_dir = os.path.join(cfg["path"]["OUTPUT"], cfg["exp_name"], "pretrain")
+    os.makedirs(out_dir, exist_ok=True)
+    cr.train(dataset, checkpoint_path=os.path.join(out_dir, "checkpoint.bin"))
+    try:
+        labels = getattr(dataset, "labels", None)
+        if labels is not None:
+            labels = np.asarray(labels)
+            labels = labels[:, 0] if labels.ndim > 1 else labels
+        cr.evaluate_representation(dataset, labels=labels, max_samples=512)
+    except Exception as e:  # t-SNE is best-effort reporting
+        logger.warning("representation eval skipped: %s", e)
+    cr.save_model(os.path.join(out_dir, "pretrained.bin"))
+    cr.save_outputs(os.path.join(out_dir, "outputs.json"))
+    return cr.get_state_dict()
+
+
+def pretrain_contrastive(cfg: dict, dataset, local_dataset=None) -> dict:
+    """Global InfoNCE (+ optional local phase with frozen encoder);
+    returns the pretrained variables of the last phase."""
+    n = cfg["net"]
+    tr = cfg["train"]
+    enc = UNetEncoder(
+        depth=n.get("depth", 5), top_filter=n.get("top_filter", 32),
+        midchannels_factor=n.get("midchannels_factor", 1),
+        mlp_head=tuple(n.get("MLP_head", (256, 128))),
+        p_dropout=n.get("p_dropout", 0.0),
+    )
+    glob = Contrastive(
+        enc, is_global=True, tau=cfg.get("tau", 0.5),
+        n_epoch=tr["n_epoch"], batch_size=tr["batch_size"], lr=tr["lr"],
+        lr_scheduler=tr.get("lr_scheduler", "ExponentialLR"),
+        lr_scheduler_kwargs=tr.get("lr_scheduler_kwargs", {"gamma": 0.95}),
+        weight_decay=tr.get("weight_decay", 1e-6), seed=cfg.get("seed", 42),
+    )
+    out_dir = os.path.join(cfg["path"]["OUTPUT"], cfg["exp_name"], "pretrain_global")
+    os.makedirs(out_dir, exist_ok=True)
+    glob.train(dataset, checkpoint_path=os.path.join(out_dir, "checkpoint.bin"))
+    glob.save_model(os.path.join(out_dir, "pretrained.bin"))
+    glob.save_outputs(os.path.join(out_dir, "outputs.json"))
+    weights = glob.get_state_dict()
+
+    if cfg.get("local", None):
+        lc = cfg["local"]
+        part = PartialUNet(
+            depth=n.get("depth", 5), n_decoder=lc.get("n_decoder", 3),
+            top_filter=n.get("top_filter", 32),
+            midchannels_factor=n.get("midchannels_factor", 1),
+            head_channel=tuple(lc.get("head_channel", (64, 32))),
+            p_dropout=n.get("p_dropout", 0.0),
+        )
+        local = Contrastive(
+            part, is_global=False, tau=lc.get("tau", 0.5),
+            K=lc.get("K", 3), n_region=lc.get("n_region", 13),
+            n_epoch=lc.get("n_epoch", tr["n_epoch"]),
+            batch_size=lc.get("batch_size", tr["batch_size"]),
+            lr=lc.get("lr", tr["lr"]), seed=cfg.get("seed", 42),
+        )
+        local.transfer_weights(weights, freeze=lc.get("freeze", True), verbose=True)
+        out_dir = os.path.join(cfg["path"]["OUTPUT"], cfg["exp_name"], "pretrain_local")
+        os.makedirs(out_dir, exist_ok=True)
+        local.train(local_dataset or dataset,
+                    checkpoint_path=os.path.join(out_dir, "checkpoint.bin"))
+        local.save_model(os.path.join(out_dir, "pretrained.bin"))
+        local.save_outputs(os.path.join(out_dir, "outputs.json"))
+        weights = local.get_state_dict()
+    return weights
+
+
+def pretrain_classifier(cfg: dict, dataset: LabeledSliceDataset, multi: bool = False) -> dict:
+    """ICH/no-ICH (or 7-way multilabel) classification pretraining of the
+    U-Net encoder (reference binary/multiclass pretraining scripts)."""
+    n = cfg["net"]
+    tr = cfg["train"]
+    n_out = 7 if multi else 2
+    enc = UNetEncoder(
+        depth=n.get("depth", 5), top_filter=n.get("top_filter", 32),
+        midchannels_factor=n.get("midchannels_factor", 1),
+        mlp_head=tuple(n.get("MLP_head", (256,)) ) + (n_out,),
+        p_dropout=n.get("p_dropout", 0.0),
+    )
+    cls = (MultiClassifier if multi else BinaryClassifier)(
+        enc, n_epoch=tr["n_epoch"], batch_size=tr["batch_size"], lr=tr["lr"],
+        lr_scheduler=tr.get("lr_scheduler", "ExponentialLR"),
+        lr_scheduler_kwargs=tr.get("lr_scheduler_kwargs", {"gamma": 0.95}),
+        weight_decay=tr.get("weight_decay", 1e-6),
+        class_weight=tr.get("class_weight"), seed=cfg.get("seed", 42),
+    )
+    labels = np.asarray(dataset.labels)
+    if not multi and labels.ndim > 1:
+        dataset = LabeledSliceDataset(dataset.images, labels[:, 0].astype(np.int32))
+    out_dir = os.path.join(cfg["path"]["OUTPUT"], cfg["exp_name"], "pretrain_classifier")
+    os.makedirs(out_dir, exist_ok=True)
+    cls.train(dataset, checkpoint_path=os.path.join(out_dir, "checkpoint.bin"))
+    cls.evaluate(dataset, print_to_logger=True, save_path=out_dir)
+    cls.save_model(os.path.join(out_dir, "pretrained.bin"))
+    cls.save_outputs(os.path.join(out_dir, "outputs.json"))
+    return cls.get_state_dict()
+
+
+def finetune_kfold(cfg: dict, pretrained: dict, datasets_by_fold: Callable) -> str:
+    """10-fold supervised fine-tune seeded from pretrained weights (the
+    reference's phase-3, ``ContextRestoration_UNet2D_scripts.py:310-312``)."""
+    from ich_tpu.train.segmentation2d import UNet2D as Trainer
+
+    cfg = dict(cfg)
+
+    def seeded_folds(k):
+        return datasets_by_fold(k)
+
+    # hook pretrained weights through a shared closure: patch the trainer
+    # construction by subclassing run via model_path_to_load-equivalent
+    out = run_supervised_2d_with_init(cfg, pretrained, seeded_folds)
+    return out
+
+
+def run_supervised_2d_with_init(cfg: dict, pretrained: Optional[dict], datasets_by_fold):
+    """run_supervised_2d with weight grafting before each fold's training."""
+    import json
+
+    from ich_tpu.experiments import supervised2d as s2d
+
+    if pretrained is None:
+        return run_supervised_2d(cfg, datasets_by_fold=datasets_by_fold)
+
+    orig_trainer = s2d.UNet2D
+
+    class SeededTrainer(orig_trainer):
+        def train(self, dataset, valid_dataset=None, checkpoint_path=None):
+            n = len(dataset)
+            self._ensure_state(dataset.image_shape,
+                               max(1, int(np.ceil(n / self.batch_size))))
+            self.transfer_weights(pretrained, verbose=True)
+            super().train(dataset, valid_dataset, checkpoint_path)
+
+    s2d.UNet2D = SeededTrainer
+    try:
+        return run_supervised_2d(cfg, datasets_by_fold=datasets_by_fold)
+    finally:
+        s2d.UNet2D = orig_trainer
+
+
+def label_efficiency_sweep(
+    cfg: dict,
+    pretrained: Optional[dict],
+    datasets_by_fold: Callable,
+    fractions: Sequence[float] = (0.1, 0.25, 0.5, 1.0),
+    seed: int = 42,
+) -> Dict[float, str]:
+    """Fine-tune at several label fractions (BASELINE config 5). For each
+    fraction, the train split of every fold is subsampled at the *patient*
+    level; evaluation uses the full test split."""
+    results = {}
+    for frac in fractions:
+        sub_cfg = dict(cfg)
+        sub_cfg = {**cfg, "exp_name": f"{cfg['exp_name']}_frac{int(frac * 100)}"}
+
+        def frac_folds(k, frac=frac):
+            train_ds, test_ds = datasets_by_fold(k)
+            if frac < 1.0:
+                rng = np.random.default_rng(seed + k)
+                vols = np.unique(train_ds.vol_ids)
+                keep = rng.permutation(vols)[: max(1, int(round(frac * len(vols))))]
+                idx = np.nonzero(np.isin(train_ds.vol_ids, keep))[0]
+                train_ds = train_ds.subset(idx)
+            return train_ds, test_ds
+
+        out = run_supervised_2d_with_init(sub_cfg, pretrained, frac_folds)
+        results[frac] = out
+        logger.info("label fraction %.0f%% -> %s", frac * 100, out)
+    return results

@@ -1,0 +1,227 @@
+"""Anomaly-detection suite: masks, morphology, GAN, AE, FCDD, inpaint-AD."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ich_tpu.data import LabeledSliceDataset, synthetic_ich_slices, synthetic_rsna_slices
+from ich_tpu.models import AENet, FCDD_CNN_VGG, GatedGenerator, PatchDiscriminator
+from ich_tpu.ops import masks as M
+from ich_tpu.ops import morphology as morph
+from ich_tpu.train import AE, FCDD, InpaintAnomalyDetector, SNPatchGAN, robust_anomaly_detect
+from ich_tpu.train.inpaint_ad import make_grid_masks
+
+KEY = jax.random.PRNGKey(0)
+
+
+# ---------------- masks ----------------
+
+def test_random_ff_mask_properties():
+    m = np.asarray(M.random_ff_masks(KEY, 4, (64, 64)))
+    assert m.shape == (4, 64, 64)
+    assert set(np.unique(m)) <= {0.0, 1.0}
+    assert (m.reshape(4, -1).sum(1) > 0).all()  # strokes drawn
+    assert (m.mean(axis=(1, 2)) < 0.8).all()  # not everything masked
+    m2 = np.asarray(M.random_ff_masks(jax.random.PRNGKey(1), 4, (64, 64)))
+    assert not np.array_equal(m, m2)  # key-dependent
+
+
+def test_draw_ellipses_properties():
+    e = np.asarray(M.draw_ellipses_batch(KEY, 3, (64, 64), n_ellipse=(2, 6),
+                                         major_axis=(4, 12), minor_axis=(4, 12),
+                                         intensity=(0.5, 1.0)))
+    assert e.shape == (3, 64, 64)
+    assert (e >= 0).all() and (e <= 1).all()
+    assert (e.reshape(3, -1).max(1) >= 0.5).all()
+    # with noise stays in range
+    en = np.asarray(M.draw_ellipses(KEY, (32, 32), noise=0.1))
+    assert (en >= 0).all() and (en <= 1).all()
+
+
+# ---------------- morphology ----------------
+
+def test_morphology_ops():
+    m = np.zeros((16, 16), np.float32)
+    m[6:10, 6:10] = 1
+    d = np.asarray(morph.dilation(jnp.asarray(m)))
+    assert d.sum() == 36  # 4x4 -> 6x6
+    e = np.asarray(morph.erosion(jnp.asarray(m)))
+    assert e.sum() == 4  # 4x4 -> 2x2
+    np.testing.assert_array_equal(np.asarray(morph.opening(jnp.asarray(m))), m)
+    np.testing.assert_array_equal(np.asarray(morph.closing(jnp.asarray(m))), m)
+
+
+def test_hysteresis_threshold():
+    x = np.zeros((16, 16), np.float32)
+    x[2:6, 2:6] = 0.6        # weak blob connected to a strong pixel
+    x[3, 3] = 1.0
+    x[10:12, 10:12] = 0.6    # weak blob with NO strong seed
+    out = np.asarray(morph.hysteresis_threshold(jnp.asarray(x), 0.5, 0.9))
+    assert out[2:6, 2:6].all()
+    assert not out[10:12, 10:12].any()
+
+
+# ---------------- GAN trainer ----------------
+
+@pytest.fixture(scope="module")
+def tiny_gan():
+    g = GatedGenerator(lat_channels=4, context_attention=False, return_coarse=True)
+    d = PatchDiscriminator(out_channels=(8, 16), kernel_size=3, stride=2,
+                           self_attention=False)
+    data = synthetic_ich_slices(n_slices=16, size=32, n_volumes=2, seed=0)
+    gan = SNPatchGAN(g, d, n_epoch=2, batch_size=8, lr_g=1e-3, lr_d=1e-3,
+                     mask_kwargs=dict(n_draw=(1, 3), vertex=(2, 5),
+                                      brush_width=(4, 8), length=(4, 10)))
+    gan.train(data)
+    return gan, data
+
+
+def test_gan_training_runs(tiny_gan):
+    gan, data = tiny_gan
+    hist = gan.outputs["train"]["evolution"]
+    assert len(hist) == 2
+    assert all(np.isfinite(h[1]) and np.isfinite(h[2]) for h in hist)
+
+
+def test_gan_inpaint_composites(tiny_gan):
+    gan, data = tiny_gan
+    imgs = data.images[:2]
+    m = np.zeros((2, 32, 32), np.float32)
+    m[:, 10:20, 10:20] = 1
+    out = gan.inpaint(imgs, m)
+    assert out.shape == (2, 32, 32, 1)
+    # outside the mask the image is untouched (composite semantics)
+    np.testing.assert_allclose(out[..., 0] * (1 - m), imgs * (1 - m), atol=1e-5)
+
+
+def test_gan_save_load_roundtrip(tiny_gan, tmp_path):
+    gan, data = tiny_gan
+    path = str(tmp_path / "gan.bin")
+    gan.save_model(path)
+    g2 = GatedGenerator(lat_channels=4, context_attention=False, return_coarse=True)
+    d2 = PatchDiscriminator(out_channels=(8, 16), kernel_size=3, stride=2,
+                            self_attention=False)
+    gan2 = SNPatchGAN(g2, d2, batch_size=8)
+    gan2.load_model(path, image_shape=(32, 32))
+    m = np.zeros((1, 32, 32), np.float32)
+    m[:, 8:16, 8:16] = 1
+    np.testing.assert_allclose(
+        gan.inpaint(data.images[:1], m), gan2.inpaint(data.images[:1], m), atol=1e-5
+    )
+
+
+# ---------------- AE trainer ----------------
+
+def test_ae_trainer():
+    data = synthetic_ich_slices(n_slices=16, size=32, n_volumes=2, seed=1)
+    ae = AE(AENet(latent_channels=4, bottleneck_channels=4, n_conv=2, kernel_size=3),
+            n_epoch=3, batch_size=8, lr=1e-3)
+    ae.train(data)
+    hist = ae.outputs["train"]["evolution"]
+    assert len(hist) == 3
+    assert hist[-1][1] < hist[0][1]  # reconstruction improves
+
+
+def test_ae_trainer_gdl_schedule():
+    """The epoch-keyed lambda_GDL schedule adds the (large-magnitude) GDL
+    term starting at the scheduled epoch (reference AE.py:99-103)."""
+    data = synthetic_ich_slices(n_slices=16, size=32, n_volumes=2, seed=1)
+    ae = AE(AENet(latent_channels=4, bottleneck_channels=4, n_conv=2, kernel_size=3),
+            lambda_GDL={"2": 0.5}, n_epoch=3, batch_size=8, lr=1e-3)
+    ae.train(data)
+    hist = ae.outputs["train"]["evolution"]
+    assert hist[2][1] > 10 * hist[1][1]  # GDL term dominates once scheduled
+    amap = ae.anomaly_map(data.images[:4])
+    assert amap.shape == (4, 32, 32)
+    assert (amap >= 0).all()
+    l1 = ae.validate(data)
+    assert np.isfinite(l1)
+
+
+# ---------------- FCDD trainer ----------------
+
+def test_fcdd_trainer():
+    ds = synthetic_rsna_slices(n_slices=32, size=32, seed=2, positive_frac=0.3)
+    data = LabeledSliceDataset(ds.images, ds.labels[:, 0])
+    f = FCDD(FCDD_CNN_VGG(), artificial_anomaly=True, anomaly_proba=0.5,
+             drawing_params=dict(n_ellipse=(1, 4), major_axis=(3, 8), minor_axis=(3, 8),
+                                 intensity=(0.6, 1.0)),
+             n_epoch=2, batch_size=8, lr=1e-4)
+    f.train(data)
+    assert len(f.outputs["train"]["evolution"]) == 2
+    scores = f.anomaly_scores(data.images[:8])
+    assert scores.shape == (8,) and (scores >= 0).all()
+    lo, hi = f.get_min_max(data.images[:8])
+    assert hi >= lo
+    heat = f.generate_heatmap(data.images[:4])
+    assert heat.shape == (4, 32, 32)
+    assert (heat >= 0).all() and (heat <= 1).all()
+    auc = f.validate(data)
+    assert np.isfinite(auc) or np.isnan(auc)
+
+
+# ---------------- inpainting AD ----------------
+
+def test_grid_masks_uniform_coverage():
+    g = make_grid_masks((32, 32), hole_size=(8, 8), step=8)
+    cover = g.sum(axis=0)
+    assert (cover == cover[0, 0]).all()  # every pixel equally covered
+    assert g.shape == (4, 32, 32)
+
+
+class _OracleInpainter:
+    """Perfect inpainter for a known clean image: returns the clean content
+    in the masked region — anomalies produce large inpainting error."""
+
+    def __init__(self, clean):
+        self.clean = jnp.asarray(clean, jnp.float32)[None, ..., None]
+
+    def __call__(self, imgs, masks):
+        return imgs * (1 - masks) + self.clean * masks
+
+
+def test_inpaint_ad_detects_synthetic_anomaly():
+    rng = np.random.default_rng(0)
+    clean = rng.uniform(0.2, 0.4, size=(64, 64)).astype(np.float32)
+    image = clean.copy()
+    image[24:36, 24:36] = 0.95  # bright square anomaly
+    det = InpaintAnomalyDetector(
+        _OracleInpainter(clean), grid_hole=(16, 16), grid_step=8,
+        batch_size=4, n_iter=1, early_stop=False,
+    )
+    mask = det.detect(image)
+    assert mask.shape == (64, 64)
+    anomaly_region = mask[24:36, 24:36]
+    background = mask.copy()
+    background[20:40, 20:40] = False
+    assert anomaly_region.mean() > 0.5      # anomaly found
+    assert background.mean() < 0.05         # few false positives
+
+
+def test_inpaint_ad_wasserstein_mode():
+    rng = np.random.default_rng(1)
+    clean = rng.uniform(0.2, 0.4, size=(32, 32)).astype(np.float32)
+    image = clean.copy()
+    image[12:20, 12:20] = 0.95
+    det = InpaintAnomalyDetector(
+        _OracleInpainter(clean), grid_hole=(8, 8), grid_step=4,
+        batch_size=4, n_iter=1, early_stop=False, use_wasserstein=True,
+    )
+    mask = det.detect(image)
+    assert mask[12:20, 12:20].mean() > 0.5
+
+
+def test_robust_anomaly_detect():
+    rng = np.random.default_rng(2)
+    clean = rng.uniform(0.2, 0.4, size=(32, 32)).astype(np.float32)
+    image = clean.copy()
+    image[12:20, 12:20] = 0.95
+    det = InpaintAnomalyDetector(
+        _OracleInpainter(clean), grid_hole=(8, 8), grid_step=4,
+        batch_size=4, n_iter=1, early_stop=False,
+    )
+    final, amap = robust_anomaly_detect(image, det, angles_list=[7.5], flip=True)
+    assert final.shape == (32, 32)
+    assert 0 <= amap.min() and amap.max() <= 1
+    assert final[14:18, 14:18].mean() > 0.5
