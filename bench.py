@@ -49,7 +49,7 @@ def main():
         vol = ct.window_ct(vol_hu, 50, 200)
         out = sliding_window_inference(
             apply_fn, variables, vol,
-            patch_size=(64, 64, 64), overlap=0.5, batch_size=8,
+            patch_size=(64, 64, 64), overlap=0.5, batch_size=64,
         )
         # On this image's tunneled TPU platform block_until_ready does NOT
         # synchronize; a (4-byte) scalar fetch is the only reliable barrier.

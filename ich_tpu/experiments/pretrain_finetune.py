@@ -199,18 +199,24 @@ def label_efficiency_sweep(
     level; evaluation uses the full test split."""
     results = {}
     for frac in fractions:
-        sub_cfg = dict(cfg)
-        sub_cfg = {**cfg, "exp_name": f"{cfg['exp_name']}_frac{int(frac * 100)}"}
+        sub_cfg = {
+            **cfg,
+            "exp_name": f"{cfg['exp_name']}_frac{int(frac * 100)}",
+            "dataset": {**cfg.get("dataset", {}), "label_fraction": frac},
+        }
 
-        def frac_folds(k, frac=frac):
-            train_ds, test_ds = datasets_by_fold(k)
-            if frac < 1.0:
-                rng = np.random.default_rng(seed + k)
-                vols = np.unique(train_ds.vol_ids)
-                keep = rng.permutation(vols)[: max(1, int(round(frac * len(vols))))]
-                idx = np.nonzero(np.isin(train_ds.vol_ids, keep))[0]
-                train_ds = train_ds.subset(idx)
-            return train_ds, test_ds
+        if datasets_by_fold is None:
+            frac_folds = None  # CSV path applies label_fraction itself
+        else:
+            def frac_folds(k, frac=frac):
+                train_ds, test_ds = datasets_by_fold(k)
+                if frac < 1.0:
+                    rng = np.random.default_rng(seed + k)
+                    vols = np.unique(train_ds.vol_ids)
+                    keep = rng.permutation(vols)[: max(1, int(round(frac * len(vols))))]
+                    idx = np.nonzero(np.isin(train_ds.vol_ids, keep))[0]
+                    train_ds = train_ds.subset(idx)
+                return train_ds, test_ds
 
         out = run_supervised_2d_with_init(sub_cfg, pretrained, frac_folds)
         results[frac] = out

@@ -111,6 +111,13 @@ def run_supervised_2d(cfg: dict, datasets_by_fold=None) -> str:
                     patient_df.loc[test_idx, "PatientNumber"].values
                 )
             ]
+            label_fraction = cfg["dataset"].get("label_fraction", 1.0)
+            if label_fraction < 1.0:
+                # label-efficiency sweep: keep a patient-level fraction
+                rng = np.random.default_rng(seed + k)
+                pats = train_df.PatientNumber.unique()
+                keep = rng.permutation(pats)[: max(1, int(round(label_fraction * len(pats))))]
+                train_df = train_df[train_df.PatientNumber.isin(keep)]
             train_df = subsample_negatives(
                 train_df, cfg["dataset"]["frac_negative"], seed
             )

@@ -129,6 +129,92 @@ def _sliding_window_jit(
     return acc / jnp.maximum(wacc, 1e-12)
 
 
+@partial(jax.jit, static_argnames=("apply_fn", "patch_size", "stride", "batch_size"))
+def _sliding_window_coset_jit(
+    variables,
+    volume,  # (D', H', W', C) padded so (dim - patch) % stride == 0
+    apply_fn: Callable,
+    patch_size: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    batch_size: int,
+):
+    """Regular-grid fast path: when the stride divides the patch size, the
+    patch grid decomposes into k^3 *cosets* of mutually non-overlapping
+    patches (k = patch/stride). Within a coset, both patch extraction and
+    blended accumulation are pure reshapes — no gathers, no serialized
+    dynamic-update-slice read-modify-write. Only the network forward and
+    the Gaussian multiply remain, so XLA keeps the MXU busy.
+    """
+    pd, ph, pw = patch_size
+    sd, sh, sw = stride
+    kd, kh, kw = pd // sd, ph // sh, pw // sw
+    dims = volume.shape[:3]
+    c = volume.shape[3]
+    n = [(dims[i] - patch_size[i]) // stride[i] + 1 for i in range(3)]
+    gmap = gaussian_importance_map(patch_size)[..., None]
+
+    c_out = jax.eval_shape(
+        apply_fn, variables, jnp.zeros((1, pd, ph, pw, c), volume.dtype)
+    ).shape[-1]
+
+    def coset_counts(ci, axis):
+        # patches of coset ci along an axis: indices ci, ci+k, ci+2k, ...
+        return (n[axis] - 1 - ci) // (kd, kh, kw)[axis] + 1 if ci < n[axis] else 0
+
+    acc = jnp.zeros(dims + (c_out,), jnp.float32)
+    wacc = jnp.zeros(dims + (1,), jnp.float32)
+
+    for cd in range(min(kd, n[0])):
+        for ch_ in range(min(kh, n[1])):
+            for cw in range(min(kw, n[2])):
+                md = coset_counts(cd, 0)
+                mh = coset_counts(ch_, 1)
+                mw = coset_counts(cw, 2)
+                if md == 0 or mh == 0 or mw == 0:
+                    continue
+                od, oh, ow = cd * sd, ch_ * sh, cw * sw
+                view = jax.lax.slice(
+                    volume,
+                    (od, oh, ow, 0),
+                    (od + md * pd, oh + mh * ph, ow + mw * pw, c),
+                )
+                patches = view.reshape(md, pd, mh, ph, mw, pw, c)
+                patches = patches.transpose(0, 2, 4, 1, 3, 5, 6).reshape(
+                    md * mh * mw, pd, ph, pw, c
+                )
+                m = patches.shape[0]
+                bpad = -(-m // batch_size) * batch_size
+                if bpad != m:
+                    patches = jnp.concatenate(
+                        [patches, jnp.zeros((bpad - m, pd, ph, pw, c), patches.dtype)]
+                    )
+                preds = jax.lax.map(
+                    lambda xb: apply_fn(variables, xb).astype(jnp.float32),
+                    patches.reshape(bpad // batch_size, batch_size, pd, ph, pw, c),
+                ).reshape(bpad, pd, ph, pw, c_out)[:m]
+                preds = preds * gmap[None]
+                block = preds.reshape(md, mh, mw, pd, ph, pw, c_out)
+                block = block.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
+                    md * pd, mh * ph, mw * pw, c_out
+                )
+                acc = jax.lax.dynamic_update_slice(
+                    acc,
+                    jax.lax.dynamic_slice(
+                        acc, (od, oh, ow, 0), block.shape
+                    ) + block,
+                    (od, oh, ow, 0),
+                )
+                wfull = jnp.tile(
+                    gmap.reshape(1, pd, 1, ph, 1, pw, 1), (md, 1, mh, 1, mw, 1, 1)
+                ).reshape(md * pd, mh * ph, mw * pw, 1)
+                wacc = jax.lax.dynamic_update_slice(
+                    wacc,
+                    jax.lax.dynamic_slice(wacc, (od, oh, ow, 0), wfull.shape) + wfull,
+                    (od, oh, ow, 0),
+                )
+    return acc / jnp.maximum(wacc, 1e-12)
+
+
 def sliding_window_inference(
     apply_fn: Callable,
     variables,
@@ -140,12 +226,32 @@ def sliding_window_inference(
     """Segment a (D, H, W[, C]) volume with Gaussian-blended overlapping
     patches. ``apply_fn(variables, batch)`` maps (B, pd, ph, pw, C) →
     (B, pd, ph, pw, C_out) probabilities. Returns (D, H, W, C_out) float32.
+
+    When the stride ``patch*(1-overlap)`` divides the patch size (e.g. the
+    standard 0.5 overlap), dispatches to the coset-reshape fast path
+    (:func:`_sliding_window_coset_jit`); otherwise the general
+    scan-and-scatter path runs.
     """
     squeeze_c = volume.ndim == 3
     if squeeze_c:
         volume = volume[..., None]
     d, h, w, c = volume.shape
     patch_size = tuple(int(p) for p in patch_size)
+
+    strides = tuple(max(1, int(p * (1.0 - overlap))) for p in patch_size)
+    if all(p % s == 0 for p, s in zip(patch_size, strides)):
+        # pad so every axis satisfies (dim - patch) % stride == 0 and dim >= patch
+        dims = (d, h, w)
+        pads = []
+        for dim, p, s in zip(dims, patch_size, strides):
+            target = p if dim <= p else p + -(-(dim - p) // s) * s
+            pads.append(target - dim)
+        if any(pads):
+            volume = jnp.pad(volume, [(0, pads[0]), (0, pads[1]), (0, pads[2]), (0, 0)])
+        out = _sliding_window_coset_jit(
+            variables, volume, apply_fn, patch_size, strides, batch_size
+        )
+        return out[:d, :h, :w]
     # pad volume up to patch size
     pad = [max(0, p - s) for p, s in zip(patch_size, (d, h, w))]
     if any(pad):

@@ -1,0 +1,120 @@
+"""Dataset preparation CLIs.
+
+Mirrors of the reference's ``scripts/data_preparation/`` tools:
+
+- ``gen-2d-seg``    ← ``generate_2DSegDataset.py``: NIfTI volumes → per-slice
+  tif/bmp + ``ct_info.csv``/``patient_info.csv`` (rot90; masks written only
+  for positive slices).
+- ``gen-2d-brain``  ← ``generate_2DBrainDataset.py``: same for brain masks.
+- ``gen-rsna-csv``  ← ``generate_RSNA_csv.py``: pivot the RSNA stage-2 label
+  csv to a per-slice multilabel ``slice_info.csv``.
+- ``dicom-to-nifti``← ``qureAI_extract_as_nifti.py``: DICOM series → NIfTI.
+"""
+
+import os
+
+import click
+
+from _common import setup_logger
+
+
+@click.group()
+def cli():
+    setup_logger()
+
+
+def _write_2d_dataset(data_dir, out_dir, mask_subdir):
+    import numpy as np
+    import pandas as pd
+    from PIL import Image
+
+    from ich_tpu.data import nifti
+
+    os.makedirs(out_dir, exist_ok=True)
+    ct_rows, patient_rows = [], []
+    scans = sorted(os.listdir(os.path.join(data_dir, "ct_scans")))
+    for fn in scans:
+        pid = int(os.path.splitext(fn.replace(".nii", ""))[0])
+        vol, _, _ = nifti.load(os.path.join(data_dir, "ct_scans", fn))
+        mask, _, _ = nifti.load(os.path.join(data_dir, mask_subdir, fn))
+        vol = np.rot90(vol, axes=(0, 1))
+        mask = np.rot90(mask, axes=(0, 1))
+        pdir = os.path.join(out_dir, f"{pid}")
+        os.makedirs(os.path.join(pdir, "ct"), exist_ok=True)
+        os.makedirs(os.path.join(pdir, "mask"), exist_ok=True)
+        any_pos = 0
+        for s in range(vol.shape[2]):
+            ct_fn = f"{pid}/ct/{s}.tif"
+            Image.fromarray(vol[:, :, s].astype(np.int32), mode="I").save(
+                os.path.join(out_dir, ct_fn)
+            )
+            pos = int(mask[:, :, s].max() > 0)
+            any_pos |= pos
+            mask_fn = "-"
+            if pos:  # masks written only for positive slices (reference)
+                mask_fn = f"{pid}/mask/{s}.bmp"
+                Image.fromarray(((mask[:, :, s] > 0) * 255).astype(np.uint8)).save(
+                    os.path.join(out_dir, mask_fn)
+                )
+            ct_rows.append({"PatientNumber": pid, "SliceNumber": s,
+                            "CT_fn": ct_fn, "mask_fn": mask_fn, "Hemorrhage": pos})
+        patient_rows.append({"PatientNumber": pid, "Hemorrhage": any_pos})
+    pd.DataFrame(ct_rows).to_csv(os.path.join(out_dir, "ct_info.csv"))
+    pd.DataFrame(patient_rows).to_csv(os.path.join(out_dir, "patient_info.csv"))
+    click.echo(f"Wrote {len(ct_rows)} slices / {len(patient_rows)} patients to {out_dir}")
+
+
+@cli.command("gen-2d-seg")
+@click.option("--data-dir", required=True, type=click.Path(exists=True),
+              help="dir with ct_scans/ and masks/ NIfTIs")
+@click.option("--out-dir", required=True, type=click.Path())
+def gen_2d_seg(data_dir, out_dir):
+    _write_2d_dataset(data_dir, out_dir, "masks")
+
+
+@cli.command("gen-2d-brain")
+@click.option("--data-dir", required=True, type=click.Path(exists=True))
+@click.option("--out-dir", required=True, type=click.Path())
+@click.option("--mask-subdir", default="brain_masks")
+def gen_2d_brain(data_dir, out_dir, mask_subdir):
+    _write_2d_dataset(data_dir, out_dir, mask_subdir)
+
+
+@cli.command("gen-rsna-csv")
+@click.option("--label-csv", required=True, type=click.Path(exists=True),
+              help="RSNA stage-2 train csv (ID,Label with ID=<sop>_<subtype>)")
+@click.option("--out-csv", required=True, type=click.Path())
+def gen_rsna_csv(label_csv, out_csv):
+    """Pivot RSNA stage-2 labels to per-slice multilabel rows
+    (reference ``generate_RSNA_csv.py``)."""
+    import pandas as pd
+
+    df = pd.read_csv(label_csv)
+    parts = df.ID.str.rsplit("_", n=1, expand=True)
+    df["sop"], df["subtype"] = parts[0], parts[1]
+    piv = df.pivot_table(index="sop", columns="subtype", values="Label").reset_index()
+    piv["filename"] = piv.sop + ".dcm"
+    piv["Hemorrhage"] = piv.get("any", 0)
+    piv["no_Hemorrhage"] = 1 - piv["Hemorrhage"]
+    piv.to_csv(out_csv)
+    click.echo(f"Wrote {len(piv)} slice rows to {out_csv}")
+
+
+@cli.command("dicom-to-nifti")
+@click.option("--series-dir", required=True, type=click.Path(exists=True))
+@click.option("--out-fn", required=True, type=click.Path())
+def dicom_to_nifti(series_dir, out_fn):
+    """Stack a DICOM series directory into one NIfTI volume
+    (reference ``qureAI_extract_as_nifti.py``)."""
+    from ich_tpu.data import nifti
+    from ich_tpu.data.dicom import series_to_volume
+
+    paths = [os.path.join(series_dir, f) for f in sorted(os.listdir(series_dir))
+             if f.lower().endswith(".dcm")]
+    vol, affine = series_to_volume(paths)
+    nifti.save(out_fn, vol, affine)
+    click.echo(f"Wrote {vol.shape} volume to {out_fn}")
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,89 @@
+"""Exploration / figure CLIs.
+
+Equivalents of the reference's ``figure_scripts/`` (dataset statistics
+figures + ``view_volume.py`` 3D rendering): dataset stats plots from the
+csv, and a volume montage viewer (pyvista is not available in this image;
+the montage covers the inspection use-case).
+"""
+
+import os
+
+import click
+
+from _common import setup_logger
+
+
+@click.group()
+def cli():
+    setup_logger()
+
+
+@cli.command("dataset-stats")
+@click.option("--data-dir", required=True, type=click.Path(exists=True))
+@click.option("--out-fn", default="dataset_stats.pdf", type=click.Path())
+def dataset_stats(data_dir, out_fn):
+    """Slice/patient counts, positive fractions, per-patient slice counts."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(data_dir, "ct_info.csv"), index_col=0)
+    fig, axes = plt.subplots(1, 3, figsize=(14, 4))
+    df.groupby("PatientNumber").size().hist(bins=20, ax=axes[0], color="dodgerblue")
+    axes[0].set_title("Slices per patient")
+    counts = df.Hemorrhage.value_counts()
+    axes[1].bar(["non-ICH", "ICH"], [counts.get(0, 0), counts.get(1, 0)],
+                color=["dodgerblue", "tomato"])
+    axes[1].set_title("Slice labels")
+    frac = df.groupby("PatientNumber").Hemorrhage.mean()
+    axes[2].hist(frac, bins=20, color="tomato")
+    axes[2].set_title("Positive-slice fraction per patient")
+    fig.savefig(out_fn, bbox_inches="tight")
+    click.echo(f"Wrote {out_fn}")
+
+
+@cli.command("view-volume")
+@click.argument("vol_path", type=click.Path(exists=True))
+@click.option("--mask-path", type=click.Path(exists=True), default=None)
+@click.option("--out-fn", default="volume_montage.png", type=click.Path())
+@click.option("--win-center", default=50.0, type=float)
+@click.option("--win-width", default=200.0, type=float)
+@click.option("--n-slices", default=16, type=int)
+def view_volume(vol_path, mask_path, out_fn, win_center, win_width, n_slices):
+    """Montage of evenly spaced windowed slices (± mask overlay)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from ich_tpu.data import nifti
+    from ich_tpu.ops.ct import window_ct
+    from ich_tpu.postprocessing.plots import imshow_pred
+
+    vol, _, _ = nifti.load(vol_path)
+    vol = np.asarray(window_ct(vol.astype(np.float32), win_center, win_width))
+    mask = None
+    if mask_path:
+        mask, _, _ = nifti.load(mask_path)
+    zs = np.linspace(0, vol.shape[2] - 1, n_slices).astype(int)
+    ncol = 4
+    nrow = -(-n_slices // ncol)
+    fig, axes = plt.subplots(nrow, ncol, figsize=(3 * ncol, 3 * nrow))
+    for ax, z in zip(np.ravel(axes), zs):
+        if mask is not None:
+            imshow_pred(vol[:, :, z], mask[:, :, z] > 0, ax=ax)
+        else:
+            ax.imshow(vol[:, :, z], cmap="gray")
+            ax.set_xticks([]); ax.set_yticks([])
+        ax.set_title(f"z={z}", fontsize=8)
+    for ax in np.ravel(axes)[len(zs):]:
+        ax.axis("off")
+    fig.savefig(out_fn, bbox_inches="tight", dpi=100)
+    click.echo(f"Wrote {out_fn}")
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,140 @@
+"""CLI surface tests: data prep roundtrip, supervised CLI, inference CLI,
+figures — driven through click runners on synthetic data."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+sys.path.insert(0, SCRIPTS)
+
+
+@pytest.fixture(scope="module")
+def nifti_dataset(tmp_path_factory):
+    """Synthetic NIfTI dataset dir (ct_scans/ + masks/)."""
+    from ich_tpu.data import nifti
+    from ich_tpu.data.synthetic import synthetic_ich_volume
+
+    d = tmp_path_factory.mktemp("nifti")
+    os.makedirs(d / "ct_scans")
+    os.makedirs(d / "masks")
+    for pid in (1, 2, 3):
+        vol, mask = synthetic_ich_volume(size=32, depth=8, seed=pid)
+        nifti.save(str(d / "ct_scans" / f"{pid:03}.nii"), vol)
+        nifti.save(str(d / "masks" / f"{pid:03}.nii"), mask.astype(np.uint8))
+    return d
+
+
+def test_data_preparation_gen_2d_seg(nifti_dataset, tmp_path):
+    import data_preparation
+
+    out = str(tmp_path / "seg2d")
+    r = CliRunner().invoke(
+        data_preparation.cli,
+        ["gen-2d-seg", "--data-dir", str(nifti_dataset), "--out-dir", out],
+    )
+    assert r.exit_code == 0, r.output
+    assert os.path.exists(os.path.join(out, "ct_info.csv"))
+    assert os.path.exists(os.path.join(out, "patient_info.csv"))
+    # loader round-trip
+    from ich_tpu.data.segich import load_segich_2d
+
+    ds = load_segich_2d(out, window=(50, 200), size=32)
+    assert len(ds) == 24  # 3 patients x 8 slices
+    assert ds.images.min() >= 0 and ds.images.max() <= 1
+
+
+def test_gen_rsna_csv(tmp_path):
+    import pandas as pd
+
+    import data_preparation
+
+    rows = []
+    for sop in ("ID_a", "ID_b"):
+        for st in ("any", "epidural", "subdural"):
+            rows.append({"ID": f"{sop}_{st}", "Label": int(sop == "ID_a" and st == "any")})
+    src = str(tmp_path / "stage2.csv")
+    pd.DataFrame(rows).to_csv(src, index=False)
+    out = str(tmp_path / "slice_info.csv")
+    r = CliRunner().invoke(data_preparation.cli,
+                           ["gen-rsna-csv", "--label-csv", src, "--out-csv", out])
+    assert r.exit_code == 0, r.output
+    df = pd.read_csv(out)
+    assert set(df.columns) >= {"filename", "Hemorrhage", "no_Hemorrhage"}
+    assert df.Hemorrhage.sum() == 1
+
+
+def test_unet2d_cli_and_segment_brain(nifti_dataset, tmp_path):
+    """End-to-end: prep 2D dataset -> train via CLI -> full-volume inference
+    via segment_brain CLI."""
+    import data_preparation
+    import segment_brain
+    import unet2d
+
+    # prep
+    data_dir = str(tmp_path / "d2")
+    r = CliRunner().invoke(
+        data_preparation.cli,
+        ["gen-2d-seg", "--data-dir", str(nifti_dataset), "--out-dir", data_dir],
+    )
+    assert r.exit_code == 0, r.output
+    # train (tiny)
+    cfg = {
+        "exp_name": "cli_e2e",
+        "path": {"DATA": data_dir, "OUTPUT": str(tmp_path / "out")},
+        "seed": 0,
+        "data": {"win_center": 50, "win_width": 200, "size": 32,
+                 "augmentation": {"train": {"HFlip": {"p": 0.5}}, "eval": {}}},
+        "dataset": {"frac_negative": 2},
+        "split": {"n_fold": 2, "shuffle": True},
+        "net": {"depth": 3, "top_filter": 4, "p_dropout": 0.0, "midchannels_factor": 1},
+        "train": {"loss_fn": "BinaryDiceLoss",
+                  "loss_fn_kwargs": {"reduction": "mean", "p": 2, "alpha": 0.2},
+                  "n_epoch": 1, "batch_size": 8, "lr": 1e-3, "validate_epoch": False},
+    }
+    cfg_fn = str(tmp_path / "cfg.json")
+    json.dump(cfg, open(cfg_fn, "w"))
+    r = CliRunner().invoke(unet2d.main, [cfg_fn])
+    assert r.exit_code == 0, r.output
+    model_fn = str(tmp_path / "out" / "cli_e2e" / "Fold_1" / "trained_unet.bin")
+    assert os.path.exists(model_fn)
+    # full-volume inference CLI
+    out_dir = str(tmp_path / "preds")
+    r = CliRunner().invoke(
+        segment_brain.main,
+        [str(nifti_dataset / "ct_scans" / "001.nii"), "-o", out_dir, "-m", model_fn,
+         "--depth", "3", "--top-filter", "4", "--size", "32", "--batch-size", "8"],
+    )
+    assert r.exit_code == 0, r.output
+    from ich_tpu.data import nifti
+
+    pred, _, _ = nifti.load(os.path.join(out_dir, "001_mask.nii.gz"))
+    assert pred.shape == (32, 32, 8)
+    assert set(np.unique(pred)) <= {0, 255}
+
+
+def test_figures_cli(nifti_dataset, tmp_path):
+    import data_preparation
+    import figures
+
+    data_dir = str(tmp_path / "dfig")
+    CliRunner().invoke(data_preparation.cli,
+                       ["gen-2d-seg", "--data-dir", str(nifti_dataset), "--out-dir", data_dir])
+    out = str(tmp_path / "stats.pdf")
+    r = CliRunner().invoke(figures.cli, ["dataset-stats", "--data-dir", data_dir, "--out-fn", out])
+    assert r.exit_code == 0, r.output
+    assert os.path.getsize(out) > 2000
+
+    mont = str(tmp_path / "mont.png")
+    r = CliRunner().invoke(
+        figures.cli,
+        ["view-volume", str(nifti_dataset / "ct_scans" / "001.nii"),
+         "--mask-path", str(nifti_dataset / "masks" / "001.nii"),
+         "--out-fn", mont, "--n-slices", "4"],
+    )
+    assert r.exit_code == 0, r.output
+    assert os.path.getsize(mont) > 2000

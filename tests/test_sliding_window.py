@@ -49,6 +49,45 @@ def test_identity_network_blends_to_identity():
     np.testing.assert_allclose(np.asarray(out)[..., 0], vol, atol=1e-4)
 
 
+def test_identity_blend_general_path():
+    """overlap 0.25 -> stride 12 does not divide 16: exercises the general
+    scan-and-scatter path (the 0.5-overlap tests hit the coset fast path)."""
+    rng = np.random.default_rng(3)
+    vol = rng.uniform(size=(20, 20, 20)).astype(np.float32)
+    out = sliding_window_inference(
+        lambda v, x: x, {}, jnp.asarray(vol), patch_size=(16, 16, 16),
+        overlap=0.25, batch_size=2,
+    )
+    np.testing.assert_allclose(np.asarray(out)[..., 0], vol, atol=1e-4)
+
+
+def test_coset_equals_general_path():
+    """The fast path and the general path agree on a real network."""
+    from ich_tpu.models import UNet
+    from ich_tpu.ops import sliding_window as sw
+
+    net = UNet(depth=2, ndim=3, top_filter=4, p_dropout=0.0, norm="group")
+    vol = jnp.asarray(np.random.default_rng(4).uniform(size=(24, 24, 24)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)))
+    apply_fn = lambda v, x: net.apply(v, x, train=False)
+    fast = sliding_window_inference(apply_fn, variables, vol, patch_size=(16, 16, 16),
+                                    overlap=0.5, batch_size=2)
+    # force the general path by calling its internals directly
+    volume = vol[..., None]
+    coords = sw.make_patch_coords(volume.shape[:3], (16, 16, 16), 0.5)
+    n = len(coords)
+    n_pad = -(-n // 2) * 2
+    keep = np.ones(n_pad, np.float32)
+    if n_pad != n:
+        coords = np.concatenate([coords, np.repeat(coords[-1:], n_pad - n, axis=0)])
+        keep[n:] = 0
+    slow = sw._sliding_window_jit(
+        variables, volume, jnp.asarray(coords), jnp.asarray(keep),
+        apply_fn, (16, 16, 16), 2, n_pad,
+    )
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=2e-4)
+
+
 def test_small_volume_padding():
     vol = np.ones((10, 20, 20), dtype=np.float32)
     apply_fn = lambda v, x: x * 0.5
