@@ -46,9 +46,20 @@ def distance_transform_edt(mask: jax.Array) -> jax.Array:
     Pixels where mask == 0 get distance 0. If a sample's mask has no zero
     pixel anywhere, its distances saturate at sqrt(_INF).
 
-    Leading axes are processed sequentially (``lax.map``) to bound the
-    O(H*W*max(H,W)) intermediate to one image at a time (~67 MB at 256^2).
+    On TPU the min-plus passes run as a Pallas kernel with the working set
+    tiled in VMEM (:mod:`ich_tpu.ops.pallas_edt`; ~2x faster than the dense
+    XLA broadcast at 512^2 and memory-bounded). Elsewhere, leading axes are
+    processed sequentially (``lax.map``) to bound the O(H*W*max(H,W))
+    intermediate to one image at a time (~67 MB at 256^2).
     """
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if on_tpu:
+        from ich_tpu.ops.pallas_edt import distance_transform_edt_pallas
+
+        return distance_transform_edt_pallas(mask, interpret=False)
     m = mask.astype(jnp.float32)
     g = jnp.where(m > 0, _INF, 0.0)  # 0 at sites, inf elsewhere
     if g.ndim == 2:
