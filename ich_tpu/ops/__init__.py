@@ -1,3 +1,23 @@
-from ich_tpu.ops import ct, losses, metrics
+from ich_tpu.ops import (
+    ct,
+    distance,
+    losses,
+    masks,
+    metrics,
+    morphology,
+    sliding_window,
+    transforms,
+    warp,
+)
 
-__all__ = ["ct", "losses", "metrics"]
+__all__ = [
+    "ct",
+    "distance",
+    "losses",
+    "masks",
+    "metrics",
+    "morphology",
+    "sliding_window",
+    "transforms",
+    "warp",
+]

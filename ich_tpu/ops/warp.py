@@ -56,8 +56,16 @@ def _sample_coords(
 
 
 def _gather_2d(img: jax.Array, yi: jax.Array, xi: jax.Array) -> jax.Array:
-    """img (H, W, C), yi/xi int (H', W') -> (H', W', C)."""
-    return img[yi, xi]
+    """Batched pixel gather: img (B, H, W, C), yi/xi int (B, H', W') ->
+    (B, H', W', C). Flattened-index take_along_axis — measurably faster on
+    TPU than 2D advanced indexing (gathers run on the scalar core; fewer,
+    flatter index vectors help)."""
+    b, h, w, c = img.shape
+    hp, wp = yi.shape[1:]
+    flat = img.reshape(b, h * w, c)
+    idx = (yi * w + xi).reshape(b, hp * wp, 1)
+    out = jnp.take_along_axis(flat, jnp.broadcast_to(idx, (b, hp * wp, c)), axis=1)
+    return out.reshape(b, hp, wp, c)
 
 
 def affine_warp(
@@ -87,7 +95,7 @@ def affine_warp(
         xi = jnp.round(x).astype(jnp.int32)
         yi = jnp.clip(yi, 0, h - 1)
         xi = jnp.clip(xi, 0, w - 1)
-        out = jax.vmap(_gather_2d)(image, yi, xi)
+        out = _gather_2d(image, yi, xi)
         out = jnp.where(in_extent[..., None], out, cval)
     else:
         y0 = jnp.floor(y)
@@ -100,9 +108,7 @@ def affine_warp(
         def corner(dy, dx):
             yi, xi = y0i + dy, x0i + dx
             inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-            v = jax.vmap(_gather_2d)(
-                image, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)
-            )
+            v = _gather_2d(image, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1))
             return jnp.where(inb[..., None], v, cval)
 
         out = (

@@ -15,6 +15,7 @@ from typing import Any, Callable, Iterable, Optional, Tuple
 import jax
 
 from ich_tpu.train import checkpoint as ckpt
+from ich_tpu.utils import preemption
 
 logger = logging.getLogger(__name__)
 
@@ -69,6 +70,14 @@ def fit(
         if checkpoint_path and (epoch + 1) % checkpoint_freq == 0:
             ckpt.save_checkpoint(checkpoint_path, state, epoch + 1, history)
             logger.info("\tCheckpoint saved.")
+        if preemption.requested():
+            if checkpoint_path:
+                ckpt.save_checkpoint(checkpoint_path, state, epoch + 1, history)
+            logger.warning(
+                "Preemption requested: checkpointed after epoch %d, stopping.",
+                epoch + 1,
+            )
+            break
 
     wall = time.time() - start_time
     logger.info("Finished training %s in %s", name, timedelta(seconds=int(wall)))

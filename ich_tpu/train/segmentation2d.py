@@ -260,6 +260,13 @@ class UNet2D:
             if checkpoint_path and (epoch + 1) % self.checkpoint_freq == 0:
                 ckpt.save_checkpoint(checkpoint_path, self.state, epoch + 1, history)
                 logger.info("\tCheckpoint saved.")
+            from ich_tpu.utils import preemption
+
+            if preemption.requested():
+                if checkpoint_path:
+                    ckpt.save_checkpoint(checkpoint_path, self.state, epoch + 1, history)
+                logger.warning("Preemption: checkpointed after epoch %d.", epoch + 1)
+                break
 
         self.outputs["train"]["time"] = time.time() - start_time
         self.outputs["train"]["evolution"] = history
