@@ -1,0 +1,241 @@
+// Native host-side data path: NIfTI-1 decode + batched CT preprocessing.
+//
+// The reference's data loading is per-sample Python (PIL/scipy in DataLoader
+// workers); the TPU framework batches decode on the host once per run, and
+// this library makes that step native: zlib-aware NIfTI-1 reading with dtype
+// conversion + scl scaling, and a multithreaded HU-window + bilinear-resize
+// slice preprocessor feeding the HBM-resident cache. Exposed to Python via
+// ctypes (ich_tpu/native/__init__.py); every entry point has a pure-Python
+// fallback so the framework runs without a compiler.
+//
+// Build: g++ -O3 -march=native -shared -fPIC fastload.cpp -o libfastload.so -lz -lpthread
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <thread>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+struct NiftiHeader {
+    int32_t sizeof_hdr;
+    int16_t dim[8];
+    int16_t datatype;
+    int16_t bitpix;
+    float pixdim[8];
+    float vox_offset;
+    float scl_slope;
+    float scl_inter;
+};
+
+// read whole file (gzip-transparent: gzread handles plain files too)
+bool read_all(const char* path, std::vector<unsigned char>& buf) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) return false;
+    const size_t chunk = 1 << 20;
+    size_t used = 0;
+    while (true) {
+        buf.resize(used + chunk);
+        int n = gzread(f, buf.data() + used, chunk);
+        if (n < 0) { gzclose(f); return false; }
+        used += (size_t)n;
+        if ((size_t)n < chunk) break;
+    }
+    buf.resize(used);
+    gzclose(f);
+    return true;
+}
+
+bool parse_header(const unsigned char* b, size_t n, NiftiHeader& h) {
+    if (n < 348) return false;
+    std::memcpy(&h.sizeof_hdr, b, 4);
+    if (h.sizeof_hdr != 348) return false;  // (big-endian unsupported here)
+    std::memcpy(h.dim, b + 40, 16);
+    std::memcpy(&h.datatype, b + 70, 2);
+    std::memcpy(&h.bitpix, b + 72, 2);
+    std::memcpy(h.pixdim, b + 76, 32);
+    std::memcpy(&h.vox_offset, b + 108, 4);
+    std::memcpy(&h.scl_slope, b + 112, 4);
+    std::memcpy(&h.scl_inter, b + 116, 4);
+    return true;
+}
+
+template <typename T>
+void convert(const unsigned char* src, float* dst, int64_t n, float slope, float inter) {
+    const T* s = reinterpret_cast<const T*>(src);
+    if (slope == 0.0f) slope = 1.0f;
+    if (slope == 1.0f && inter == 0.0f) {
+        for (int64_t i = 0; i < n; ++i) dst[i] = (float)s[i];
+    } else {
+        for (int64_t i = 0; i < n; ++i) dst[i] = (float)s[i] * slope + inter;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Probe dims: returns ndim (>0) on success, <0 on error. dims_out[8], pixdim_out[8].
+int nifti_probe(const char* path, int32_t* dims_out, float* pixdim_out) {
+    std::vector<unsigned char> buf;
+    if (!read_all(path, buf)) return -1;
+    NiftiHeader h;
+    if (!parse_header(buf.data(), buf.size(), h)) return -2;
+    for (int i = 0; i < 8; ++i) {
+        dims_out[i] = h.dim[i];
+        pixdim_out[i] = h.pixdim[i];
+    }
+    return (int)h.dim[0];
+}
+
+// Read a NIfTI volume into a caller-allocated float32 buffer (Fortran voxel
+// order exactly as stored). Returns number of elements written, <0 on error.
+int64_t nifti_read_f32(const char* path, float* out, int64_t max_elems) {
+    std::vector<unsigned char> buf;
+    if (!read_all(path, buf)) return -1;
+    NiftiHeader h;
+    if (!parse_header(buf.data(), buf.size(), h)) return -2;
+    int ndim = h.dim[0];
+    if (ndim < 1 || ndim > 7) return -3;
+    int64_t n = 1;
+    for (int i = 1; i <= ndim; ++i) n *= (int64_t)h.dim[i];
+    if (n > max_elems) return -4;
+    size_t off = (size_t)h.vox_offset;
+    if (buf.size() < off + (size_t)n * (h.bitpix / 8)) return -5;
+    const unsigned char* d = buf.data() + off;
+    switch (h.datatype) {
+        case 2:    convert<uint8_t>(d, out, n, h.scl_slope, h.scl_inter); break;
+        case 4:    convert<int16_t>(d, out, n, h.scl_slope, h.scl_inter); break;
+        case 8:    convert<int32_t>(d, out, n, h.scl_slope, h.scl_inter); break;
+        case 16:   convert<float>(d, out, n, h.scl_slope, h.scl_inter); break;
+        case 64:   convert<double>(d, out, n, h.scl_slope, h.scl_inter); break;
+        case 256:  convert<int8_t>(d, out, n, h.scl_slope, h.scl_inter); break;
+        case 512:  convert<uint16_t>(d, out, n, h.scl_slope, h.scl_inter); break;
+        case 768:  convert<uint32_t>(d, out, n, h.scl_slope, h.scl_inter); break;
+        default:   return -6;
+    }
+    return n;
+}
+
+// Single-pass variant: decode + header in one read (one gzip pass); the
+// buffer is allocated here and must be released with fastload_free.
+// Returns elements written (>0), <0 on error; fills dims/pixdim[8].
+int64_t nifti_read_alloc(const char* path, float** out_ptr,
+                         int32_t* dims_out, float* pixdim_out) {
+    std::vector<unsigned char> buf;
+    if (!read_all(path, buf)) return -1;
+    NiftiHeader h;
+    if (!parse_header(buf.data(), buf.size(), h)) return -2;
+    for (int i = 0; i < 8; ++i) {
+        dims_out[i] = h.dim[i];
+        pixdim_out[i] = h.pixdim[i];
+    }
+    int ndim = h.dim[0];
+    if (ndim < 1 || ndim > 7) return -3;
+    int64_t n = 1;
+    for (int i = 1; i <= ndim; ++i) n *= (int64_t)h.dim[i];
+    size_t off = (size_t)h.vox_offset;
+    if (buf.size() < off + (size_t)n * (h.bitpix / 8)) return -5;
+    float* out = (float*)malloc((size_t)n * sizeof(float));
+    if (!out) return -7;
+    const unsigned char* d = buf.data() + off;
+    switch (h.datatype) {
+        case 2:    convert<uint8_t>(d, out, n, h.scl_slope, h.scl_inter); break;
+        case 4:    convert<int16_t>(d, out, n, h.scl_slope, h.scl_inter); break;
+        case 8:    convert<int32_t>(d, out, n, h.scl_slope, h.scl_inter); break;
+        case 16:   convert<float>(d, out, n, h.scl_slope, h.scl_inter); break;
+        case 64:   convert<double>(d, out, n, h.scl_slope, h.scl_inter); break;
+        case 256:  convert<int8_t>(d, out, n, h.scl_slope, h.scl_inter); break;
+        case 512:  convert<uint16_t>(d, out, n, h.scl_slope, h.scl_inter); break;
+        case 768:  convert<uint32_t>(d, out, n, h.scl_slope, h.scl_inter); break;
+        default:   free(out); return -6;
+    }
+    *out_ptr = out;
+    return n;
+}
+
+void fastload_free(float* p) { free(p); }
+
+// Batched CT preprocessing: HU window to [0,1] + bilinear resize, one thread
+// pool over slices. in: (n, h, w) C-order float32 -> out: (n, oh, ow).
+void window_resize_batch(const float* in, int n, int h, int w,
+                         float center, float width,
+                         float* out, int oh, int ow, int n_threads) {
+    const float lo = center - width / 2.0f;
+    const float inv = 1.0f / width;  // (x - lo) / (hi - lo)
+    const float sy = (float)h / (float)oh;
+    const float sx = (float)w / (float)ow;
+    // antialias kernel scale (jax.image.resize 'linear' semantics)
+    const float ky = sy > 1.0f ? sy : 1.0f;
+    const float kx = sx > 1.0f ? sx : 1.0f;
+    // window (clip) BEFORE interpolation, matching the python pipeline
+    // (clip is nonlinear, so the order is observable)
+    auto win = [&](float v) {
+        v = (v - lo) * inv;
+        if (v < 0.0f) v = 0.0f;
+        if (v > 1.0f) v = 1.0f;
+        return v;
+    };
+
+    auto work = [&](int s0, int s1) {
+        std::vector<float> tmp((size_t)h * ow);
+        for (int s = s0; s < s1; ++s) {
+            const float* src = in + (int64_t)s * h * w;
+            float* dst = out + (int64_t)s * oh * ow;
+            // horizontal pass: window + antialiased tent resample along x
+            for (int y = 0; y < h; ++y) {
+                for (int x = 0; x < ow; ++x) {
+                    float fx = (x + 0.5f) * sx - 0.5f;
+                    int j0 = (int)std::floor(fx - kx) ;
+                    int j1 = (int)std::ceil(fx + kx);
+                    float acc = 0.0f, wsum = 0.0f;
+                    for (int j = j0; j <= j1; ++j) {
+                        float d = (fx - (float)j) / kx;
+                        float wgt = 1.0f - (d < 0 ? -d : d);
+                        if (wgt <= 0.0f || j < 0 || j > w - 1) continue;
+                        acc += wgt * win(src[y * w + j]);
+                        wsum += wgt;
+                    }
+                    tmp[(size_t)y * ow + x] = acc / wsum;
+                }
+            }
+            // vertical pass
+            for (int y = 0; y < oh; ++y) {
+                float fy = (y + 0.5f) * sy - 0.5f;
+                int j0 = (int)std::floor(fy - ky);
+                int j1 = (int)std::ceil(fy + ky);
+                for (int x = 0; x < ow; ++x) {
+                    float acc = 0.0f, wsum = 0.0f;
+                    for (int j = j0; j <= j1; ++j) {
+                        float d = (fy - (float)j) / ky;
+                        float wgt = 1.0f - (d < 0 ? -d : d);
+                        if (wgt <= 0.0f || j < 0 || j > h - 1) continue;
+                        acc += wgt * tmp[(size_t)j * ow + x];
+                        wsum += wgt;
+                    }
+                    dst[y * ow + x] = acc / wsum;
+                }
+            }
+        }
+    };
+
+    if (n_threads <= 1 || n <= 1) {
+        work(0, n);
+        return;
+    }
+    int nt = n_threads < n ? n_threads : n;
+    std::vector<std::thread> pool;
+    int per = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+        int s0 = t * per, s1 = s0 + per < n ? s0 + per : n;
+        if (s0 >= s1) break;
+        pool.emplace_back(work, s0, s1);
+    }
+    for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

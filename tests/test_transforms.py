@@ -214,6 +214,34 @@ def test_registry_and_build_pipeline():
     assert np.asarray(out).shape == (1, 32, 32)
 
 
+def test_matmul_warp_matches_gather():
+    """The MXU two-pass warp agrees with the exact gather warp within the
+    standard two-pass approximation tolerance (smooth data, small angles)."""
+    from ich_tpu.ops.warp import affine_warp
+
+    img = ndi.gaussian_filter(
+        np.random.default_rng(0).uniform(size=(4, 64, 64)).astype(np.float32), 2.0,
+        axes=(1, 2),
+    )
+    th = np.deg2rad(10.0)
+    m = jnp.broadcast_to(
+        jnp.asarray([[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]], jnp.float32),
+        (4, 2, 2),
+    )
+    o = jnp.asarray(np.tile([[2.3, -1.7]], (4, 1)), jnp.float32)
+    g = np.asarray(affine_warp(jnp.asarray(img), m, o, order=1, method="gather"))
+    mm = np.asarray(affine_warp(jnp.asarray(img), m, o, order=1, method="matmul"))
+    d = np.abs(g - mm)
+    assert d.mean() < 1e-3
+    assert d[:, 6:-6, 6:-6].max() < 0.05
+    # flips are exact under both paths
+    mf = jnp.broadcast_to(jnp.asarray([[1.0, 0.0], [0.0, -1.0]]), (4, 2, 2))
+    o0 = jnp.zeros((4, 2))
+    gf = np.asarray(affine_warp(jnp.asarray(img), mf, o0, order=1, method="gather"))
+    mmf = np.asarray(affine_warp(jnp.asarray(img), mf, o0, order=1, method="matmul"))
+    np.testing.assert_allclose(gf, mmf, atol=1e-5)
+
+
 def test_jit_and_batch():
     """Whole pipeline under jit on a batch — the production path."""
     pipe = T.Compose(
