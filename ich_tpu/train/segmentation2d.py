@@ -72,6 +72,7 @@ class UNet2D:
         seed: int = 0,
         print_progress: bool = False,
         checkpoint_freq: int = 10,
+        mesh=None,  # jax.sharding.Mesh for data-parallel training
         num_workers: int = 0,  # accepted for config parity; unused (no host workers)
         device: Optional[str] = None,  # config parity; placement is mesh-driven
     ):
@@ -86,6 +87,7 @@ class UNet2D:
         self.augment_fn = augment_fn
         self.print_progress = print_progress
         self.checkpoint_freq = checkpoint_freq
+        self.mesh = mesh
         self.seed = seed
 
         self.state: Optional[TrainState] = None
@@ -221,6 +223,15 @@ class UNet2D:
 
         images, masks = dataset.images, dataset.masks
         on_device = isinstance(images, jax.Array)
+        batch_sh = None
+        if self.mesh is not None:
+            # data-parallel layout: params/opt state replicated once, every
+            # batch sharded over the mesh's 'data' axis (XLA inserts the
+            # gradient psums + global BatchNorm statistics over ICI)
+            from ich_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+            self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+            batch_sh = batch_sharding(self.mesh, 3 if images.ndim == 3 else images.ndim)
         start_time = time.time()
 
         for epoch in range(n_epoch_finished, self.n_epoch):
@@ -233,6 +244,11 @@ class UNet2D:
                     bi, bm = jnp.take(images, idx, axis=0), jnp.take(masks, idx, axis=0)
                 else:
                     bi, bm = images[idx], masks[idx]
+                if batch_sh is not None:
+                    bi = jax.device_put(bi, batch_sh)
+                    bm = jax.device_put(
+                        bm, batch_sh if bm.ndim == bi.ndim else batch_sh
+                    )
                 self.state, loss = train_step(self.state, bi, bm, key)
                 epoch_loss += float(loss)
                 n_batch += 1

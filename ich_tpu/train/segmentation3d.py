@@ -58,15 +58,22 @@ def sample_patches(
     imgs = np.empty((batch_size, pd, ph, pw), dtype=np.float32)
     msks = np.empty((batch_size, pd, ph, pw), dtype=np.float32)
     n = len(dataset)
+    # lazy per-volume positive-voxel index cache (np.nonzero over a full
+    # volume per sampled patch would dominate the host loop)
+    cache = getattr(dataset, "_pos_cache", None)
+    if cache is None:
+        cache = {}
+        dataset._pos_cache = cache
     for b in range(batch_size):
         vi = int(rng.integers(0, n))
         vol, mask = dataset.volumes[vi], dataset.masks[vi]
         vol_p, mask_p = _pad_to(vol, patch_size), _pad_to(mask, patch_size)
         d, h, w = vol_p.shape
         if pos_frac > 0 and rng.uniform() < pos_frac and mask_p.sum() > 0:
-            zz, yy, xx = np.nonzero(mask_p)
-            i = int(rng.integers(0, len(zz)))
-            c = (zz[i], yy[i], xx[i])
+            if vi not in cache:
+                cache[vi] = np.stack(np.nonzero(mask_p), axis=1)
+            pos = cache[vi]
+            c = pos[int(rng.integers(0, len(pos)))]
             start = [
                 int(np.clip(c[0] - pd // 2, 0, d - pd)),
                 int(np.clip(c[1] - ph // 2, 0, h - ph)),

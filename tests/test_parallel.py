@@ -111,6 +111,21 @@ def test_sharded_sliding_window_matches_single_device(mesh):
     np.testing.assert_allclose(a[:, 8:-8], b[:, 8:-8], atol=2e-3)
 
 
+def test_trainer_mesh_argument(mesh):
+    """UNet2D(mesh=...) trains data-parallel end to end via the public API."""
+    from ich_tpu.data import synthetic_ich_slices
+    from ich_tpu.models import UNet
+    from ich_tpu.train import UNet2D
+
+    data = synthetic_ich_slices(n_slices=32, size=32, n_volumes=4, seed=0)
+    t = UNet2D(UNet(depth=3, top_filter=4, p_dropout=0.0, norm="group"),
+               n_epoch=2, batch_size=16, lr=1e-3, mesh=mesh)
+    t.train(data)
+    hist = t.outputs["train"]["evolution"]
+    assert len(hist) == 2 and np.isfinite(hist[-1][1])
+    assert hist[-1][1] < hist[0][1] * 1.2
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
 
