@@ -183,15 +183,16 @@ def _sliding_window_coset_jit(
                     md * mh * mw, pd, ph, pw, c
                 )
                 m = patches.shape[0]
-                bpad = -(-m // batch_size) * batch_size
-                if bpad != m:
-                    patches = jnp.concatenate(
-                        [patches, jnp.zeros((bpad - m, pd, ph, pw, c), patches.dtype)]
+                # exact-shape chunks (no zero-padding waste): chunk sizes are
+                # static per coset, so at most a handful of compiled shapes
+                chunks = []
+                for i in range(0, m, batch_size):
+                    chunks.append(
+                        apply_fn(variables, patches[i : i + batch_size]).astype(
+                            jnp.float32
+                        )
                     )
-                preds = jax.lax.map(
-                    lambda xb: apply_fn(variables, xb).astype(jnp.float32),
-                    patches.reshape(bpad // batch_size, batch_size, pd, ph, pw, c),
-                ).reshape(bpad, pd, ph, pw, c_out)[:m]
+                preds = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
                 preds = preds * gmap[None]
                 block = preds.reshape(md, mh, mw, pd, ph, pw, c_out)
                 block = block.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
