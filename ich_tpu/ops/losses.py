@@ -353,3 +353,18 @@ LOSSES.add("GDL", lambda reduction="mean", **kw: functools.partial(gdl_loss, red
 LOSSES.add("HSCLoss", _factory(hsc_loss))
 LOSSES.add("MSELoss", _factory(mse_loss))
 LOSSES.add("L1Loss", _factory(l1_loss))
+# torch loss names used by the classification-pretraining configs
+LOSSES.add(
+    "CrossEntropyLoss",
+    lambda weight=None, **kw: functools.partial(
+        softmax_cross_entropy,
+        class_weights=jnp.asarray(weight) if weight is not None else None,
+    ),
+)
+LOSSES.add(
+    "BCEWithLogitsLoss",
+    lambda pos_weight=1.0, **kw: functools.partial(
+        weighted_bce_with_logits,
+        pos_weight=float(pos_weight) if not isinstance(pos_weight, (list, tuple)) else float(pos_weight[0]),
+    ),
+)
