@@ -162,29 +162,10 @@ def finetune_kfold(cfg: dict, pretrained: dict, datasets_by_fold: Callable) -> s
 
 
 def run_supervised_2d_with_init(cfg: dict, pretrained: Optional[dict], datasets_by_fold):
-    """run_supervised_2d with weight grafting before each fold's training."""
-    import json
-
-    from ich_tpu.experiments import supervised2d as s2d
-
-    if pretrained is None:
-        return run_supervised_2d(cfg, datasets_by_fold=datasets_by_fold)
-
-    orig_trainer = s2d.UNet2D
-
-    class SeededTrainer(orig_trainer):
-        def train(self, dataset, valid_dataset=None, checkpoint_path=None):
-            n = len(dataset)
-            self._ensure_state(dataset.image_shape,
-                               max(1, int(np.ceil(n / self.batch_size))))
-            self.transfer_weights(pretrained, verbose=True)
-            super().train(dataset, valid_dataset, checkpoint_path)
-
-    s2d.UNet2D = SeededTrainer
-    try:
-        return run_supervised_2d(cfg, datasets_by_fold=datasets_by_fold)
-    finally:
-        s2d.UNet2D = orig_trainer
+    """run_supervised_2d with pretrained weights grafted into each fold."""
+    return run_supervised_2d(
+        cfg, datasets_by_fold=datasets_by_fold, init_variables=pretrained
+    )
 
 
 def label_efficiency_sweep(

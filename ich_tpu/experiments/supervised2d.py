@@ -52,12 +52,15 @@ def build_unet_from_cfg(net_cfg: dict, norm: str = "batch") -> UNet:
     )
 
 
-def run_supervised_2d(cfg: dict, datasets_by_fold=None) -> str:
+def run_supervised_2d(cfg: dict, datasets_by_fold=None, init_variables=None) -> str:
     """Run the k-fold experiment; returns the experiment output dir.
 
     ``datasets_by_fold``: optional callable (fold_k) -> (train_ds, test_ds)
     overriding CSV loading — used by tests/synthetic runs and the
     label-efficiency sweep.
+    ``init_variables``: optional pretrained variables grafted into each
+    fold's trainer before training (key-intersection transfer — the
+    pretrain→finetune bridge).
     """
     import pandas as pd
     from sklearn.model_selection import StratifiedKFold
@@ -148,6 +151,12 @@ def run_supervised_2d(cfg: dict, datasets_by_fold=None) -> str:
 
             loaded = ckpt_mod.load_params(tr["model_path_to_load"], trainer._variables())
             trainer.transfer_weights(loaded, verbose=True)
+        if init_variables is not None:
+            trainer._ensure_state(
+                train_ds.image_shape,
+                max(1, int(np.ceil(len(train_ds) / tr["batch_size"]))),
+            )
+            trainer.transfer_weights(init_variables, verbose=True)
 
         trainer.train(
             train_ds.device_cache(),
