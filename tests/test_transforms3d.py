@@ -1,0 +1,63 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.ndimage as ndi
+
+from ich_tpu.ops.transforms3d import Compose3D, Flip3D, RotateInPlane, default_patch_augmentation
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_flip3d():
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.uniform(size=(4, 6, 8, 8)).astype(np.float32))
+    mask = (vol > 0.5).astype(jnp.float32)
+    t = Flip3D(p=1.0, axes=(2, 3))
+    oi, om = t(KEY, vol, mask)
+    want = np.flip(np.flip(np.asarray(vol), 2), 3)
+    np.testing.assert_allclose(np.asarray(oi), want, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(om), np.flip(np.flip(np.asarray(mask), 2), 3))
+    # p=0 identity
+    oi0 = Flip3D(p=0.0)(KEY, vol)
+    np.testing.assert_allclose(np.asarray(oi0), np.asarray(vol), atol=1e-6)
+
+
+def test_rotate_in_plane_matches_scipy_per_slice():
+    rng = np.random.default_rng(1)
+    vol = ndi.gaussian_filter(rng.uniform(size=(1, 4, 32, 32)).astype(np.float32), 1.5)
+    t = RotateInPlane(low=15.0, high=15.0)
+    out = np.asarray(t(KEY, jnp.asarray(vol)))
+    for z in range(4):
+        want = ndi.rotate(vol[0, z], 15.0, axes=(1, 0), order=1, reshape=False)
+        d = np.abs(out[0, z, 4:-4, 4:-4] - want[4:-4, 4:-4])
+        assert d.max() < 0.05  # two-pass warp tolerance on smooth data
+
+
+def test_rotate_in_plane_mask_binary():
+    rng = np.random.default_rng(2)
+    vol = jnp.asarray(rng.uniform(size=(2, 4, 16, 16)).astype(np.float32))
+    mask = (vol > 0.7).astype(jnp.float32)
+    oi, om = RotateInPlane(-20, 20)(KEY, vol, mask)
+    assert set(np.unique(np.asarray(om))) <= {0.0, 1.0}
+    assert oi.shape == vol.shape and om.shape == mask.shape
+
+
+def test_default_patch_augmentation_in_unet3d():
+    from ich_tpu.data import VolumeDataset3D, synthetic_ich_volume
+    from ich_tpu.models import UNet
+    from ich_tpu.train import UNet3D
+
+    vols, masks = [], []
+    for i in range(2):
+        v, m = synthetic_ich_volume(size=24, depth=16, seed=i)
+        vols.append(np.transpose(v, (2, 0, 1)) / 200.0 + 0.25)
+        masks.append(np.transpose(m, (2, 0, 1)))
+    ds = VolumeDataset3D(vols, masks, np.arange(2))
+    t = UNet3D(
+        UNet(depth=2, ndim=3, top_filter=4, p_dropout=0.0, norm="group"),
+        patch_size=(8, 16, 16), steps_per_epoch=3, n_epoch=1, batch_size=4,
+        lr=1e-3, augment_fn=default_patch_augmentation(),
+        loss_fn_kwargs={"reduction": "mean", "p": 2, "alpha": 0.2},
+    )
+    t.train(ds)
+    assert np.isfinite(t.outputs["train"]["evolution"][0][1])
