@@ -74,6 +74,7 @@ class AE(_SSLBase):
         n = len(dataset.images)
         steps_per_epoch = max(1, n // self.batch_size)
         self._ensure_state(dataset.images.shape[1:], steps_per_epoch)
+        self._dp_prepare()
         step = self._make_train_step()
         host_rng = np.random.default_rng(self.seed)
         images = dataset.images
@@ -85,7 +86,7 @@ class AE(_SSLBase):
                 lambda_holder["v"] = self.ep_GDL[str(epoch)]
                 logger.info("Lambda GDL set to %s.", lambda_holder["v"])
             for idx in batch_indices(n, self.batch_size, shuffle=True, rng=host_rng, drop_last=True):
-                yield jnp.asarray(images[idx])
+                yield self._place(jnp.asarray(images[idx]))
 
         def train_step(state, batch, key):
             return step(state, batch, key, float(lambda_holder["v"]))

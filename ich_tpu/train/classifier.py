@@ -90,13 +90,15 @@ class _ClassifierBase(_SSLBase):
         n = len(dataset.images)
         steps_per_epoch = max(1, int(np.ceil(n / self.batch_size)))
         self._ensure_state(dataset.images.shape[1:], steps_per_epoch)
+        self._dp_prepare()
         step = self._make_train_step()
         host_rng = np.random.default_rng(self.seed)
         images, labels = dataset.images, np.asarray(dataset.labels)
 
         def batches_fn(epoch):
             for idx in batch_indices(n, self.batch_size, shuffle=True, rng=host_rng):
-                yield (jnp.asarray(images[idx]), jnp.asarray(labels[idx]))
+                yield (self._place(jnp.asarray(images[idx])),
+                       self._place(jnp.asarray(labels[idx])))
 
         def validate(state, epoch):
             if valid_dataset is None:

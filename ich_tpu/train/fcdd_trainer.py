@@ -102,13 +102,15 @@ class FCDD(_SSLBase):
             labels = labels[:, 0]
         steps_per_epoch = max(1, n // self.batch_size)
         self._ensure_state(dataset.images.shape[1:], steps_per_epoch)
+        self._dp_prepare()
         step = self._make_train_step()
         host_rng = np.random.default_rng(self.seed)
         images = dataset.images
 
         def batches_fn(epoch):
             for idx in batch_indices(n, self.batch_size, shuffle=True, rng=host_rng, drop_last=True):
-                yield (jnp.asarray(images[idx]), jnp.asarray(labels[idx].astype(np.int32)))
+                yield (self._place(jnp.asarray(images[idx])),
+                       self._place(jnp.asarray(labels[idx].astype(np.int32))))
 
         def validate(state, epoch):
             if valid_dataset is None:

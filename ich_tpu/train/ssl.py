@@ -57,6 +57,7 @@ class _SSLBase:
         weight_decay: float = 1e-6,
         seed: int = 0,
         checkpoint_freq: int = 1,
+        mesh=None,  # jax.sharding.Mesh for data-parallel training
         num_workers: int = 0,  # config parity; unused
         device: Optional[str] = None,  # config parity; unused
         print_progress: bool = False,
@@ -70,6 +71,7 @@ class _SSLBase:
         self.weight_decay = weight_decay
         self.seed = seed
         self.checkpoint_freq = checkpoint_freq
+        self.mesh = mesh
         self.print_progress = print_progress
 
         self.state: Optional[TrainState] = None
@@ -120,6 +122,23 @@ class _SSLBase:
 
     def _variables(self) -> dict:
         return self.state.variables()
+
+    def _dp_prepare(self) -> None:
+        """Data-parallel layout: state replicated over the mesh (call once
+        before training when ``mesh`` is set)."""
+        if self.mesh is not None:
+            from ich_tpu.parallel.mesh import replicated_sharding
+
+            self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+
+    def _place(self, x):
+        """Shard a batched array over the mesh's data axis (no-op without
+        a mesh)."""
+        if self.mesh is None:
+            return x
+        from ich_tpu.parallel.mesh import batch_sharding
+
+        return jax.device_put(x, batch_sharding(self.mesh, jnp.ndim(x)))
 
     def transfer_weights(self, source_variables: dict, freeze: bool = False, verbose: bool = False):
         """Key-intersection transfer; optionally freeze the transferred
@@ -262,13 +281,15 @@ class ContextRestoration(_SSLBase):
         n = len(dataset)
         steps_per_epoch = max(1, n // self.batch_size)
         self._ensure_state(dataset.image_shape, steps_per_epoch)
+        self._dp_prepare()
         step = self._make_train_step()
         host_rng = np.random.default_rng(self.seed)
         images = dataset.images
 
         def batches_fn(epoch):
             for idx in batch_indices(n, self.batch_size, shuffle=True, rng=host_rng, drop_last=True):
-                yield jnp.asarray(images[idx]) if not isinstance(images, jax.Array) else jnp.take(images, jnp.asarray(idx), axis=0)
+                b = jnp.asarray(images[idx]) if not isinstance(images, jax.Array) else jnp.take(images, jnp.asarray(idx), axis=0)
+                yield self._place(b)
 
         self.state, history, wall = fit(
             self.state, lambda s, b, k: step(s, b, k), batches_fn,
@@ -354,13 +375,15 @@ class Contrastive(_SSLBase):
         n = len(dataset)
         steps_per_epoch = max(1, n // self.batch_size)  # drop_last=True
         self._ensure_state(dataset.image_shape, steps_per_epoch)
+        self._dp_prepare()
         step = self._make_train_step()
         host_rng = np.random.default_rng(self.seed)
         images = dataset.images
 
         def batches_fn(epoch):
             for idx in batch_indices(n, self.batch_size, shuffle=True, rng=host_rng, drop_last=True):
-                yield jnp.asarray(images[idx]) if not isinstance(images, jax.Array) else jnp.take(images, jnp.asarray(idx), axis=0)
+                b = jnp.asarray(images[idx]) if not isinstance(images, jax.Array) else jnp.take(images, jnp.asarray(idx), axis=0)
+                yield self._place(b)
 
         name = "global contrastive encoder" if self.is_global else "local contrastive partial U-Net"
         self.state, history, wall = fit(

@@ -126,6 +126,27 @@ def test_trainer_mesh_argument(mesh):
     assert hist[-1][1] < hist[0][1] * 1.2
 
 
+def test_ssl_trainers_mesh(mesh):
+    """Contrastive + classifier pretraining under the mesh (dp via the
+    public mesh= argument)."""
+    from ich_tpu.data import LabeledSliceDataset, synthetic_ich_slices, synthetic_rsna_slices
+    from ich_tpu.models import UNetEncoder
+    from ich_tpu.train import BinaryClassifier, Contrastive
+
+    data = synthetic_ich_slices(n_slices=32, size=32, n_volumes=4, seed=1)
+    enc = UNetEncoder(depth=3, top_filter=4, mlp_head=(16, 8), p_dropout=0.0, norm="group")
+    c = Contrastive(enc, is_global=True, n_epoch=1, batch_size=16, lr=1e-3, mesh=mesh)
+    c.train(data)
+    assert np.isfinite(c.outputs["train"]["evolution"][0][1])
+
+    ds = synthetic_rsna_slices(n_slices=32, size=32, seed=2)
+    bd = LabeledSliceDataset(ds.images, ds.labels[:, 0].astype(np.int32))
+    enc2 = UNetEncoder(depth=3, top_filter=4, mlp_head=(16, 2), p_dropout=0.0, norm="group")
+    clf = BinaryClassifier(enc2, n_epoch=1, batch_size=16, lr=1e-3, mesh=mesh)
+    clf.train(bd)
+    assert np.isfinite(clf.outputs["train"]["evolution"][0][1])
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
 
