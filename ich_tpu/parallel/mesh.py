@@ -85,3 +85,22 @@ def replicate(tree: Any, mesh: Optional[Mesh] = None) -> Any:
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Mesh:
+    """Multi-host setup: ``jax.distributed.initialize`` then a global data
+    mesh over all hosts' devices (SURVEY §2.8 — the reference has no
+    multi-node path at all). Call once at program start on every host; with
+    no arguments, coordinates are discovered from the TPU environment."""
+    import jax.distributed
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return make_mesh(jax.devices(), axis_names=("data",))

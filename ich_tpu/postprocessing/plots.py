@@ -20,6 +20,23 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 
+def draw_curved_rect(
+    x0: float, x1: float, y0_l: float, y1_l: float, y0_r: float, y1_r: float,
+    ax=None, color: str = "gray", alpha: float = 0.3, n: int = 50,
+):
+    """Filled band between two verticals whose top/bottom edges are smooth
+    sigmoid-eased curves (the reference's flow-diagram primitive,
+    ``plot_utils.py:20``)."""
+    ax = ax or plt.gca()
+    t = np.linspace(0, 1, n)
+    ease = t * t * (3 - 2 * t)  # smoothstep
+    xs = x0 + (x1 - x0) * t
+    top = y1_l + (y1_r - y1_l) * ease
+    bot = y0_l + (y0_r - y0_l) * ease
+    ax.fill_between(xs, bot, top, color=color, alpha=alpha, linewidth=0)
+    return ax
+
+
 def curve_std(
     series: Sequence[np.ndarray],
     names: Sequence[str],
