@@ -191,6 +191,35 @@ class UNet3D(UNet2D):
             timedelta(seconds=int(self.outputs["train"]["time"])),
         )
 
+    def segment_volume(
+        self,
+        vol_data: np.ndarray,
+        affine: Optional[np.ndarray] = None,
+        save_fn: Optional[str] = None,
+        window: Optional[Tuple[float, float]] = None,
+        threshold: float = 0.5,
+        return_pred: bool = True,
+        **_: object,
+    ):
+        """3D override of the 2.5D API: window on device then Gaussian-
+        blended sliding-window segmentation. vol_data: (D, H, W) raw."""
+        vol = np.asarray(vol_data, dtype=np.float32)
+        if window is not None:
+            import jax.numpy as jnp
+
+            from ich_tpu.ops.ct import window_ct
+
+            vol = np.asarray(window_ct(jnp.asarray(vol), window[0], window[1]))
+        pred = self.predict_volume(vol, threshold=threshold) * np.uint8(255)
+        if save_fn:
+            from ich_tpu.data import nifti
+
+            nifti.save(save_fn, pred, affine if affine is not None else np.eye(4))
+        if return_pred:
+            return pred
+
+    segement_volume = segment_volume  # reference-name alias
+
     def predict_volume(self, vol: np.ndarray, threshold: float = 0.5) -> np.ndarray:
         """Full-volume probability → binary mask via sliding window.
         vol: (D, H, W) preprocessed (windowed/resampled) volume."""
