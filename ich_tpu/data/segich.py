@@ -13,7 +13,7 @@ training batches are pure device gathers.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -18,12 +18,11 @@ from typing import Callable, Dict, Optional, Sequence
 
 import numpy as np
 
-from ich_tpu.data.core import LabeledSliceDataset, SliceDataset2D
+from ich_tpu.data.core import LabeledSliceDataset
 from ich_tpu.experiments.supervised2d import build_unet_from_cfg, run_supervised_2d
-from ich_tpu.models.unet import PartialUNet, UNet, UNetEncoder
+from ich_tpu.models.unet import PartialUNet, UNetEncoder
 from ich_tpu.train.classifier import BinaryClassifier, MultiClassifier
 from ich_tpu.train.ssl import ContextRestoration, Contrastive
-from ich_tpu.utils.logging import setup_logger
 
 logger = logging.getLogger(__name__)
 
@@ -148,17 +147,7 @@ def pretrain_classifier(cfg: dict, dataset: LabeledSliceDataset, multi: bool = F
 def finetune_kfold(cfg: dict, pretrained: dict, datasets_by_fold: Callable) -> str:
     """10-fold supervised fine-tune seeded from pretrained weights (the
     reference's phase-3, ``ContextRestoration_UNet2D_scripts.py:310-312``)."""
-    from ich_tpu.train.segmentation2d import UNet2D as Trainer
-
-    cfg = dict(cfg)
-
-    def seeded_folds(k):
-        return datasets_by_fold(k)
-
-    # hook pretrained weights through a shared closure: patch the trainer
-    # construction by subclassing run via model_path_to_load-equivalent
-    out = run_supervised_2d_with_init(cfg, pretrained, seeded_folds)
-    return out
+    return run_supervised_2d_with_init(cfg, pretrained, datasets_by_fold)
 
 
 def run_supervised_2d_with_init(cfg: dict, pretrained: Optional[dict], datasets_by_fold):

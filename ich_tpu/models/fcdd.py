@@ -17,7 +17,7 @@ architecture, so here it is computed once analytically
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

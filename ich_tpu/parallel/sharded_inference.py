@@ -19,7 +19,6 @@ either way).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Sequence
 
 import jax

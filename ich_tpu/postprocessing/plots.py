@@ -11,7 +11,7 @@ Redesigned, not transcribed — same information content, leaner API.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import matplotlib
 

@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ich_tpu.data.core import batch_indices
-from ich_tpu.ops import transforms as T
 from ich_tpu.ops.losses import softmax_cross_entropy, weighted_bce_with_logits
 from ich_tpu.ops.metrics import classification_metrics, multilabel_metrics
 from ich_tpu.train.loop import fit

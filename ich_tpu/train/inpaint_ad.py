@@ -25,7 +25,6 @@ from __future__ import annotations
 import logging
 import math
 import os
-from functools import partial
 from typing import Callable, List, Optional, Tuple
 
 import jax

@@ -26,7 +26,7 @@ import os
 import time
 from datetime import timedelta
 from functools import partial
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -296,7 +296,7 @@ class UNet2D:
         dataset: SliceDataset2D,
         print_to_logger: bool = True,
         save_path: Optional[str] = None,
-    ) -> "Any":
+    ):
         """Per-slice confusion counts on device; slice + volume Dice; CSV/bmp
         artifacts matching the reference's (``UNet2D.py:183-270``). Returns
         the per-slice pandas DataFrame."""

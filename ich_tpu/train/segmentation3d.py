@@ -22,8 +22,7 @@ from __future__ import annotations
 import logging
 import time
 from datetime import timedelta
-from functools import partial
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ from __future__ import annotations
 import logging
 import time
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
