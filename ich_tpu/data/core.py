@@ -49,6 +49,15 @@ def batch_indices(
             yield order[full:]
 
 
+def _as_f32_keep_device(x):
+    """float32 view of ``x``, preserving device residency for jax.Arrays."""
+    if isinstance(x, jax.Array):
+        import jax.numpy as jnp
+
+        return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+    return np.asarray(x, dtype=np.float32)
+
+
 @dataclasses.dataclass
 class SliceDataset2D:
     """Dense 2D slice dataset: images (N, H, W) or (N, H, W, C) float32,
@@ -60,8 +69,10 @@ class SliceDataset2D:
     slice_nbrs: np.ndarray
 
     def __post_init__(self):
-        self.images = np.asarray(self.images, dtype=np.float32)
-        self.masks = np.asarray(self.masks, dtype=np.float32)
+        # jax.Arrays (a device_cache()d dataset) must NOT round-trip through
+        # np.asarray — that would silently pull the cache back to host numpy
+        self.images = _as_f32_keep_device(self.images)
+        self.masks = _as_f32_keep_device(self.masks)
         self.vol_ids = np.asarray(self.vol_ids, dtype=np.int32)
         self.slice_nbrs = np.asarray(self.slice_nbrs, dtype=np.int32)
         n = len(self.images)

@@ -64,6 +64,40 @@ bool parse_header(const unsigned char* b, size_t n, NiftiHeader& h) {
     return true;
 }
 
+// element size in bytes derived from the datatype code — never trust the
+// header's bitpix for bounds checks (a corrupt header with datatype=64 /
+// bitpix=8 would otherwise pass validation and read past the buffer)
+int64_t datatype_size(int16_t datatype) {
+    switch (datatype) {
+        case 2: case 256:          return 1;   // uint8 / int8
+        case 4: case 512:          return 2;   // int16 / uint16
+        case 8: case 16: case 768: return 4;   // int32 / float32 / uint32
+        case 64:                   return 8;   // float64
+        default:                   return 0;   // unsupported
+    }
+}
+
+// validated element count + payload offset; returns n (>0) or <0 error code
+int64_t validate_payload(const NiftiHeader& h, size_t buf_size, size_t& off_out) {
+    int ndim = h.dim[0];
+    if (ndim < 1 || ndim > 7) return -3;
+    int64_t n = 1;
+    for (int i = 1; i <= ndim; ++i) {
+        if (h.dim[i] <= 0) return -3;
+        n *= (int64_t)h.dim[i];
+    }
+    int64_t esize = datatype_size(h.datatype);
+    if (esize == 0) return -6;
+    // vox_offset is stored as float: must be finite and >= 352 (header+ext)
+    if (!(h.vox_offset >= 348.0f) || !std::isfinite(h.vox_offset) ||
+        h.vox_offset > 9.0e15f)
+        return -5;
+    size_t off = (size_t)h.vox_offset;
+    if (buf_size < off || (buf_size - off) < (uint64_t)n * (uint64_t)esize) return -5;
+    off_out = off;
+    return n;
+}
+
 template <typename T>
 void convert(const unsigned char* src, float* dst, int64_t n, float slope, float inter) {
     const T* s = reinterpret_cast<const T*>(src);
@@ -99,13 +133,10 @@ int64_t nifti_read_f32(const char* path, float* out, int64_t max_elems) {
     if (!read_all(path, buf)) return -1;
     NiftiHeader h;
     if (!parse_header(buf.data(), buf.size(), h)) return -2;
-    int ndim = h.dim[0];
-    if (ndim < 1 || ndim > 7) return -3;
-    int64_t n = 1;
-    for (int i = 1; i <= ndim; ++i) n *= (int64_t)h.dim[i];
+    size_t off = 0;
+    int64_t n = validate_payload(h, buf.size(), off);
+    if (n < 0) return n;
     if (n > max_elems) return -4;
-    size_t off = (size_t)h.vox_offset;
-    if (buf.size() < off + (size_t)n * (h.bitpix / 8)) return -5;
     const unsigned char* d = buf.data() + off;
     switch (h.datatype) {
         case 2:    convert<uint8_t>(d, out, n, h.scl_slope, h.scl_inter); break;
@@ -134,12 +165,9 @@ int64_t nifti_read_alloc(const char* path, float** out_ptr,
         dims_out[i] = h.dim[i];
         pixdim_out[i] = h.pixdim[i];
     }
-    int ndim = h.dim[0];
-    if (ndim < 1 || ndim > 7) return -3;
-    int64_t n = 1;
-    for (int i = 1; i <= ndim; ++i) n *= (int64_t)h.dim[i];
-    size_t off = (size_t)h.vox_offset;
-    if (buf.size() < off + (size_t)n * (h.bitpix / 8)) return -5;
+    size_t off = 0;
+    int64_t n = validate_payload(h, buf.size(), off);
+    if (n < 0) return n;
     float* out = (float*)malloc((size_t)n * sizeof(float));
     if (!out) return -7;
     const unsigned char* d = buf.data() + off;

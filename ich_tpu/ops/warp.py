@@ -160,7 +160,10 @@ def affine_warp(
     ~18x faster on TPU), or 'auto' (matmul on TPU for order 1, gather
     otherwise — masks always use the exact nearest gather).
     """
-    if method == "matmul" or (method == "auto" and _use_matmul_warp()):
+    # 'auto' only routes ORDER-1 (image) warps to the approximate matmul
+    # path; order-0 mask warps always use the exact nearest gather so masks
+    # stay pixel-aligned with the scipy-calibrated reference semantics
+    if method == "matmul" or (method == "auto" and order == 1 and _use_matmul_warp()):
         return affine_warp_matmul(image, m, o, cval, order=order)
     b, h, w = image.shape[:3]
     squeeze = image.ndim == 3

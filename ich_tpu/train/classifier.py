@@ -134,7 +134,7 @@ class _ClassifierBase(_SSLBase):
 
     def evaluate(self, dataset, print_to_logger: bool = True, save_path: Optional[str] = None):
         start = time.time()
-        self._ensure_state(dataset.images.shape[1:], steps_per_epoch=1)
+        self._ensure_state(dataset.images.shape[1:])
         scores = self.predict_scores(dataset.images)
         m = self._metrics(np.asarray(dataset.labels), scores)
         self.outputs["eval"]["time"] = time.time() - start

@@ -94,6 +94,7 @@ class SNPatchGAN:
 
         self.state: Optional[GANState] = None
         self._tx_g = self._tx_d = None
+        self._tx_steps: Optional[int] = None  # steps_per_epoch the txs were built with
         self.outputs = {
             "train": {"time": None, "evolution": None},
             "eval": {"time": None, "l1_valid": None},
@@ -101,7 +102,26 @@ class SNPatchGAN:
 
     # -- state ----------------------------------------------------------------
 
-    def _ensure_state(self, image_shape: Tuple[int, int], steps_per_epoch: int):
+    def _ensure_state(self, image_shape: Tuple[int, int], steps_per_epoch: Optional[int] = None):
+        """``steps_per_epoch=None`` = schedule cadence irrelevant (load/eval);
+        ``train()`` passes the real value and rebuilds the optimizers so
+        per-epoch torch schedules decay per EPOCH, not per step."""
+        if self._tx_g is None or (
+            steps_per_epoch is not None and steps_per_epoch != self._tx_steps
+        ):
+            rebuilt = self._tx_g is not None
+            self._tx_steps = steps_per_epoch
+            spe = steps_per_epoch or 1
+            sched_g = make_schedule(self.lr_scheduler, self.lr_g, spe, **self.lr_scheduler_kwargs)
+            sched_d = make_schedule(self.lr_scheduler, self.lr_d, spe, **self.lr_scheduler_kwargs)
+            # Adam(0.5, 0.999) as in the reference GAN setup
+            self._tx_g = make_optimizer(sched_g, weight_decay=self.weight_decay, betas=(0.5, 0.999))
+            self._tx_d = make_optimizer(sched_d, weight_decay=self.weight_decay, betas=(0.5, 0.999))
+            if rebuilt and self.state is not None:
+                self.state = self.state.replace(
+                    g_opt=self._tx_g.init(self.state.g_params),
+                    d_opt=self._tx_d.init(self.state.d_params),
+                )
         if self.state is not None:
             return
         h, w = image_shape[:2]
@@ -110,11 +130,6 @@ class SNPatchGAN:
         kg, kd = jax.random.split(jax.random.PRNGKey(self.seed))
         g_vars = self.generator.init({"params": kg}, img, mask)
         d_vars = self.discriminator.init({"params": kd}, img, mask)
-        sched_g = make_schedule(self.lr_scheduler, self.lr_g, steps_per_epoch, **self.lr_scheduler_kwargs)
-        sched_d = make_schedule(self.lr_scheduler, self.lr_d, steps_per_epoch, **self.lr_scheduler_kwargs)
-        # Adam(0.5, 0.999) as in the reference GAN setup
-        self._tx_g = make_optimizer(sched_g, weight_decay=self.weight_decay, betas=(0.5, 0.999))
-        self._tx_d = make_optimizer(sched_d, weight_decay=self.weight_decay, betas=(0.5, 0.999))
         self.state = GANState(
             g_params=g_vars["params"],
             g_stats=g_vars.get("batch_stats", {}),
@@ -305,7 +320,7 @@ class SNPatchGAN:
         ckpt.save_params(export_fn, self.get_state_dict())
 
     def load_model(self, import_fn: str, image_shape=(256, 256)) -> None:
-        self._ensure_state(image_shape, steps_per_epoch=1)
+        self._ensure_state(image_shape)
         loaded = ckpt.load_params(import_fn, self.get_state_dict())
         g, d = loaded["generator"], loaded["discriminator"]
         self.state = self.state.replace(

@@ -92,6 +92,7 @@ class UNet2D:
 
         self.state: Optional[TrainState] = None
         self._tx = None
+        self._tx_steps: Optional[int] = None  # steps_per_epoch the tx was built with
         self._pending_transfer = None  # variables to graft once initialized
         self.outputs = {
             "train": {"time": None, "evolution": None},
@@ -106,12 +107,24 @@ class UNet2D:
             shape = shape + (1,)
         return jnp.zeros(shape, dtype=jnp.float32)
 
-    def _ensure_state(self, image_shape: Tuple[int, ...], steps_per_epoch: int) -> None:
-        if self._tx is None:
+    def _ensure_state(
+        self, image_shape: Tuple[int, ...], steps_per_epoch: Optional[int] = None
+    ) -> None:
+        """``steps_per_epoch=None`` = schedule cadence irrelevant for this
+        call (eval/inference/IO); ``train()`` passes the real value and
+        rebuilds the optimizer if a don't-care call built it first (torch
+        per-epoch schedules must decay per EPOCH, not per step)."""
+        if self._tx is None or (
+            steps_per_epoch is not None and steps_per_epoch != self._tx_steps
+        ):
+            rebuilt = self._tx is not None
+            self._tx_steps = steps_per_epoch
             schedule = make_schedule(
-                self.lr_scheduler, self.lr, steps_per_epoch, **self.lr_scheduler_kwargs
+                self.lr_scheduler, self.lr, steps_per_epoch or 1, **self.lr_scheduler_kwargs
             )
             self._tx = make_optimizer(schedule, weight_decay=self.weight_decay)
+            if rebuilt and self.state is not None:
+                self.state = self.state.replace(opt_state=self._tx.init(self.state.params))
         if self.state is None:
             self.state = create_train_state(
                 self.unet,
@@ -303,7 +316,7 @@ class UNet2D:
         import pandas as pd
 
         if self.state is None:
-            self._ensure_state(dataset.image_shape, steps_per_epoch=1)
+            self._ensure_state(dataset.image_shape)
         eval_step = self._make_eval_step(return_pred=save_path is not None)
         variables = self._variables()
 
@@ -413,7 +426,7 @@ class UNet2D:
         program (reference ``segement_volume``, ``UNet2D.py:272-314``).
         Returns a uint8 {0,255} volume; optionally writes NIfTI."""
         if self.state is None:
-            self._ensure_state(tuple(input_size), steps_per_epoch=1)
+            self._ensure_state(tuple(input_size))
         h, w, z = vol_data.shape
         z_pad = int(np.ceil(z / self.batch_size) * self.batch_size)
         vol = np.zeros((h, w, z_pad), dtype=np.float32)
@@ -461,7 +474,7 @@ class UNet2D:
 
     def load_model(self, import_fn: str, image_shape: Tuple[int, ...] = (256, 256)) -> None:
         if self.state is None:
-            self._ensure_state(image_shape, steps_per_epoch=1)
+            self._ensure_state(image_shape)
         loaded = ckpt.load_params(import_fn, self._variables())
         self.state = self.state.replace(
             params=loaded["params"], batch_stats=loaded.get("batch_stats")

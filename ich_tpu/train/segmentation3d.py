@@ -243,7 +243,7 @@ class UNet3D(UNet2D):
         import pandas as pd
 
         if self.state is None:
-            self._ensure_state(self.patch_size, steps_per_epoch=1)
+            self._ensure_state(self.patch_size)
         if print_to_logger:
             logger.info("Start evaluating the 3D U-Net.")
         start_time = time.time()

@@ -76,6 +76,8 @@ class _SSLBase:
 
         self.state: Optional[TrainState] = None
         self._tx = None
+        self._tx_steps: Optional[int] = None  # steps_per_epoch the tx was built with
+        self._pending_transfer = None
         self._trainable_mask = None  # optax freeze mask (True = train)
         self.outputs = {
             "train": {"time": None, "evolution": None},
@@ -88,9 +90,20 @@ class _SSLBase:
             shape = shape + (1,)
         return jnp.zeros(shape, jnp.float32)
 
-    def _ensure_state(self, image_shape, steps_per_epoch: int) -> None:
+    def _ensure_state(self, image_shape, steps_per_epoch: Optional[int] = None) -> None:
+        """``steps_per_epoch=None`` means this call doesn't care about the
+        schedule cadence (eval/IO paths); ``train()`` passes the real value,
+        rebuilding the optimizer if an earlier don't-care call pinned a
+        different one — per-epoch torch schedules (ExponentialLR etc.) must
+        decay per EPOCH, not per step."""
         if self._tx is None:
+            self._tx_steps = steps_per_epoch
+            self._tx = self._build_tx(steps_per_epoch or 1)
+        elif steps_per_epoch is not None and steps_per_epoch != self._tx_steps:
+            self._tx_steps = steps_per_epoch
             self._tx = self._build_tx(steps_per_epoch)
+            if self.state is not None:
+                self.state = self.state.replace(opt_state=self._tx.init(self.state.params))
         if self.state is None:
             self.state = create_train_state(
                 self.net, jax.random.PRNGKey(self.seed),
@@ -159,7 +172,9 @@ class _SSLBase:
         if freeze and moved:
             self._trainable_mask = ckpt.freeze_mask(self.state.params, moved)
             if self._tx is not None:
-                self._tx = self._build_tx(steps_per_epoch=1)
+                # rebuild at the REAL schedule cadence (ADVICE r1: rebuilding
+                # with steps_per_epoch=1 made per-epoch schedules decay per step)
+                self._tx = self._build_tx(self._tx_steps or 1)
                 self.state = self.state.replace(opt_state=self._tx.init(self.state.params))
         return moved
 
@@ -171,7 +186,7 @@ class _SSLBase:
 
     def load_model(self, import_fn: str, image_shape=(256, 256)) -> None:
         if self.state is None:
-            self._ensure_state(image_shape, steps_per_epoch=1)
+            self._ensure_state(image_shape)
         loaded = ckpt.load_params(import_fn, self._variables())
         self.state = self.state.replace(
             params=loaded["params"], batch_stats=loaded.get("batch_stats")
@@ -208,7 +223,7 @@ class _SSLBase:
         from sklearn.manifold import TSNE
 
         start = time.time()
-        self._ensure_state(dataset.image_shape, steps_per_epoch=1)
+        self._ensure_state(dataset.image_shape)
         run = self._bottleneck_fn()
         variables = self._variables()
         n = min(len(dataset), max_samples)
@@ -342,7 +357,10 @@ class Contrastive(_SSLBase):
         def step(state, images, key):
             if images.ndim == 3:
                 images = images[..., None]
-            k1, k2, kd, kr = jax.random.split(key, 4)
+            # independent dropout per view (the reference's two forward
+            # passes draw independent dropout masks; reusing one key would
+            # correlate the views and weaken the NT-Xent objective)
+            k1, k2, kd1, kd2, kr = jax.random.split(key, 5)
             v1 = aug(k1, images)
             v2 = aug(k2, images)
 
@@ -351,10 +369,10 @@ class Contrastive(_SSLBase):
                 if has_bn:
                     variables["batch_stats"] = state.batch_stats
                 mut_arg = ["batch_stats"] if has_bn else []
-                o1, m1 = net.apply(variables, v1, train=True, rngs={"dropout": kd}, mutable=mut_arg)
+                o1, m1 = net.apply(variables, v1, train=True, rngs={"dropout": kd1}, mutable=mut_arg)
                 if has_bn:
                     variables = {"params": params, "batch_stats": m1["batch_stats"]}
-                o2, m2 = net.apply(variables, v2, train=True, rngs={"dropout": kd}, mutable=mut_arg)
+                o2, m2 = net.apply(variables, v2, train=True, rngs={"dropout": kd2}, mutable=mut_arg)
                 if is_global:
                     # L2-normalize embeddings (reference Contrastive.py:142-144)
                     z1 = o1 / jnp.maximum(jnp.linalg.norm(o1, axis=1, keepdims=True), 1e-8)

@@ -37,6 +37,65 @@ def test_native_int16_with_scaling(tmp_path):
     np.testing.assert_allclose(got, vol.astype(np.float32))
 
 
+def _raw_nifti(dims, datatype, bitpix, vox_offset, payload: bytes) -> bytes:
+    """Hand-craft a minimal little-endian NIfTI-1 blob (no magic check)."""
+    import struct
+
+    hdr = bytearray(348)
+    struct.pack_into("<i", hdr, 0, 348)
+    dim = [len(dims)] + list(dims) + [1] * (7 - len(dims))
+    struct.pack_into("<8h", hdr, 40, *dim)
+    struct.pack_into("<h", hdr, 70, datatype)
+    struct.pack_into("<h", hdr, 72, bitpix)
+    struct.pack_into("<8f", hdr, 76, 1, 1, 1, 1, 1, 1, 1, 1)
+    struct.pack_into("<f", hdr, 108, vox_offset)
+    struct.pack_into("<ff", hdr, 112, 1.0, 0.0)
+    pad = b"\x00" * max(0, int(vox_offset) - 348) if np.isfinite(vox_offset) else b"\x00" * 4
+    return bytes(hdr) + pad + payload
+
+
+def test_native_rejects_lying_bitpix(tmp_path):
+    """A corrupt header claiming datatype=float64 but bitpix=8 must NOT pass
+    the bounds check with the 1-byte element size (heap over-read guard)."""
+    fn = str(tmp_path / "evil.nii")
+    # 64 elems, payload only 64 bytes — float64 needs 512
+    with open(fn, "wb") as f:
+        f.write(_raw_nifti((4, 4, 4), datatype=64, bitpix=8,
+                           vox_offset=352.0, payload=b"\x01" * 64))
+    with pytest.raises(IOError):
+        native.load_nifti_f32(fn)
+
+
+def test_native_rejects_bad_vox_offset(tmp_path):
+    for off in (float("nan"), 0.0, -4.0):
+        fn = str(tmp_path / "off.nii")
+        with open(fn, "wb") as f:
+            f.write(_raw_nifti((2, 2), datatype=2, bitpix=8,
+                               vox_offset=off, payload=b"\x01" * 64))
+        with pytest.raises(IOError):
+            native.load_nifti_f32(fn)
+
+
+def test_native_rejects_nonpositive_dim(tmp_path):
+    fn = str(tmp_path / "dim.nii")
+    with open(fn, "wb") as f:
+        f.write(_raw_nifti((4, -4, 4), datatype=2, bitpix=8,
+                           vox_offset=352.0, payload=b"\x01" * 64))
+    with pytest.raises(IOError):
+        native.load_nifti_f32(fn)
+
+
+def test_native_float64_roundtrip(tmp_path):
+    """Legit float64 volumes still decode (element size from datatype)."""
+    vol = np.linspace(-10, 10, 24).reshape(2, 3, 4)
+    fn = str(tmp_path / "f64.nii")
+    with open(fn, "wb") as f:
+        f.write(_raw_nifti((2, 3, 4), datatype=64, bitpix=64, vox_offset=352.0,
+                           payload=vol.astype("<f8").tobytes(order="F")))
+    got, _ = native.load_nifti_f32(fn)
+    np.testing.assert_allclose(got, vol.astype(np.float32), atol=1e-6)
+
+
 def test_window_resize_matches_python():
     import jax.numpy as jnp
 

@@ -140,7 +140,13 @@ def test_segment_volume(tmp_path):
 
 
 def test_device_cached_dataset_training(data):
+    import jax
+
     cached = data.device_cache()
+    # the cache must actually be device-resident (ADVICE r1: __post_init__
+    # used to silently pull the arrays back to host numpy)
+    assert isinstance(cached.images, jax.Array)
+    assert isinstance(cached.masks, jax.Array)
     t = _trainer(n_epoch=1)
     t.train(cached)
     assert np.isfinite(t.outputs["train"]["evolution"][0][1])

@@ -107,6 +107,29 @@ def test_local_contrastive_with_frozen_transfer():
     frozen_after = np.asarray(c.state.params["encoder"]["down_0"]["conv1"]["kernel"])
     np.testing.assert_array_equal(frozen_before, frozen_after)  # frozen
     assert np.isfinite(c.outputs["train"]["evolution"][0][1])
+    # the freeze rebuild must keep the REAL schedule cadence (ADVICE r1 high)
+    assert c._tx_steps == max(1, len(data) // 8)
+
+
+def test_lazy_init_then_train_uses_epoch_schedule_cadence():
+    """ADVICE r1 (high): a load/eval call building the optimizer first must
+    not pin per-epoch schedules to steps_per_epoch=1 (per-STEP decay)."""
+    enc = UNetEncoder(depth=3, top_filter=4, mlp_head=(16, 8), p_dropout=0.0)
+    c = Contrastive(enc, n_epoch=1, batch_size=8, lr=1e-3,
+                    lr_scheduler_kwargs={"gamma": 0.5})
+    c._ensure_state((32, 32))       # don't-care init (load_model / evaluate)
+    c._ensure_state((32, 32), 50)   # train() with the real 50 steps/epoch
+    assert c._tx_steps == 50
+    # probe: with constant grads Adam's update magnitude ≈ lr(step)
+    params = {"w": jnp.ones((4,))}
+    opt = c._tx.init(params)
+    g = {"w": jnp.full((4,), 0.5)}
+    u = None
+    for _ in range(60):
+        u, opt = c._tx.update(g, opt, params)
+    mag = float(jnp.abs(u["w"]).mean())
+    # step 60 → epoch 1 → lr = 1e-3·0.5 = 5e-4; per-step decay gives ~1e-21
+    assert 2e-4 < mag < 8e-4
 
 
 def test_binary_classifier():
