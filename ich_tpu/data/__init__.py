@@ -8,6 +8,7 @@ from ich_tpu.data.synthetic import (
     synthetic_ich_slices,
     synthetic_ich_volume,
     synthetic_rsna_slices,
+    write_segich_tree,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "synthetic_ich_slices",
     "synthetic_ich_volume",
     "synthetic_rsna_slices",
+    "write_segich_tree",
 ]

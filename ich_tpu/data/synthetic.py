@@ -91,6 +91,57 @@ def synthetic_rsna_slices(
     return LabeledSliceDataset(ds.images, labels)
 
 
+def write_segich_tree(
+    dataset,
+    out_dir: str,
+    window: Tuple[float, float] = (50.0, 200.0),
+) -> str:
+    """Write a SliceDataset2D to disk in the PhysioNet publicSegICH-2D layout
+    produced by the reference's generator
+    (``scripts/data_preparation/generate_2DSegDataset.py:32-95``):
+
+    - ``Patient_CT/{id:03d}/{slice}.tif`` CT slices (float32, HU units —
+      the [0,1] dataset intensities are un-windowed back to HU),
+    - ``Patient_CT/{id:03d}/{slice}_ICH_Seg.bmp`` masks for POSITIVE slices
+      only; ``mask_fn='None'`` rows otherwise (the reference's convention),
+    - ``ct_info.csv`` (PatientNumber, SliceNumber, CT_fn, mask_fn,
+      Hemorrhage) and ``patient_info.csv``.
+
+    Used as the spec-faithful on-disk fixture for loader tests and as the
+    data source for prediction-overlay reports."""
+    import os
+
+    import pandas as pd
+    from PIL import Image
+
+    c, w = window
+    os.makedirs(os.path.join(out_dir, "Patient_CT"), exist_ok=True)
+    rows, patients = [], {}
+    for i in range(len(dataset)):
+        vid = int(dataset.vol_ids[i])
+        snb = int(dataset.slice_nbrs[i])
+        pdir = os.path.join(out_dir, "Patient_CT", f"{vid:03d}")
+        os.makedirs(pdir, exist_ok=True)
+        hu = dataset.images[i] * w + (c - w / 2.0)
+        ct_fn = f"Patient_CT/{vid:03d}/{snb}.tif"
+        Image.fromarray(hu.astype(np.float32), mode="F").save(os.path.join(out_dir, ct_fn))
+        pos = int(dataset.masks[i].max() > 0)
+        mask_fn = "None"
+        if pos:
+            mask_fn = f"Patient_CT/{vid:03d}/{snb}_ICH_Seg.bmp"
+            Image.fromarray(((dataset.masks[i] > 0) * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, mask_fn)
+            )
+        rows.append({"PatientNumber": vid, "SliceNumber": snb,
+                     "CT_fn": ct_fn, "mask_fn": mask_fn, "Hemorrhage": pos})
+        patients[vid] = max(patients.get(vid, 0), pos)
+    pd.DataFrame(rows).to_csv(os.path.join(out_dir, "ct_info.csv"))
+    pd.DataFrame(
+        [{"PatientNumber": k, "Hemorrhage": v} for k, v in sorted(patients.items())]
+    ).to_csv(os.path.join(out_dir, "patient_info.csv"))
+    return out_dir
+
+
 def synthetic_ich_volume(
     size: int = 64, depth: int = 32, seed: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:

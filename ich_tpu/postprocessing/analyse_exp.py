@@ -40,6 +40,142 @@ def _load_fold_histories(exp_folder: str):
     return hist
 
 
+def _exp_window(exp_folder: str, default=(50.0, 200.0)):
+    """HU window (center, width) from the experiment's re-dumped config.json
+    (the reference reads cfg['data']['win_center'/'win_width'],
+    ``analyse_exp.py:152``)."""
+    fn = os.path.join(exp_folder, "config.json")
+    try:
+        with open(fn) as f:
+            cfg = json.load(f)
+        return float(cfg["data"]["win_center"]), float(cfg["data"]["win_width"])
+    except Exception:
+        return default
+
+
+def _find_slice_files(data_path: str, vol_id: int, slice_nbr: int):
+    """Locate the raw CT slice + ground-truth mask for (volume, slice).
+
+    Tries the dataset's own ``ct_info.csv`` index first (the canonical
+    layout produced by ``generate_2DSegDataset``), then the reference's
+    hard-coded PhysioNet path patterns (``analyse_exp.py:141-165``).
+    Returns (ct_path | None, mask_path | None)."""
+    csv_fn = os.path.join(data_path, "ct_info.csv")
+    if os.path.exists(csv_fn):
+        import pandas as pd
+
+        df = pd.read_csv(csv_fn, index_col=0)
+        rows = df[(df.PatientNumber == vol_id) & (df.SliceNumber == slice_nbr)]
+        if len(rows):
+            r = rows.iloc[0]
+            ct = os.path.join(data_path, str(r["CT_fn"]))
+            m = r.get("mask_fn", None)
+            mask = (
+                os.path.join(data_path, str(m))
+                if isinstance(m, str) and m not in ("", "-", "nan", "None")
+                else None
+            )
+            return (
+                ct if os.path.exists(ct) else None,
+                mask if mask is not None and os.path.exists(mask) else None,
+            )
+    for ct_pat, m_pat in (
+        (f"Patient_CT/{vol_id:03d}/{slice_nbr}.tif",
+         f"Patient_CT/{vol_id:03d}/{slice_nbr}_ICH_Seg.bmp"),
+        (f"{vol_id:03d}/ct_scans/{slice_nbr}.tif",
+         f"{vol_id:03d}/masks/{slice_nbr}_ICH.bmp"),
+    ):
+        ct = os.path.join(data_path, ct_pat)
+        if os.path.exists(ct):
+            m = os.path.join(data_path, m_pat)
+            return ct, (m if os.path.exists(m) else None)
+    return None, None
+
+
+def _load_overlay_triplet(exp_folder, data_path, row, window):
+    """(windowed CT [0,1], target bool, pred bool) for one slice_df row, with
+    the prediction nearest-resized to the CT's native resolution (reference
+    ``analyse_exp.py:168-171``); (None, None, None) if artifacts missing."""
+    from PIL import Image
+
+    pred_fn = os.path.join(exp_folder, f"Fold_{int(row.Fold)}/pred", str(row.pred_fn))
+    if not os.path.exists(pred_fn):
+        return None, None, None
+    pred = np.asarray(Image.open(pred_fn)) > 0
+    ct_fn, mask_fn = (None, None)
+    if data_path is not None:
+        ct_fn, mask_fn = _find_slice_files(data_path, int(row.volID), int(row["slice"]))
+    if ct_fn is None:
+        return None, None, pred
+    ct = np.asarray(Image.open(ct_fn)).astype(np.float32)
+    c, w = window
+    ct = np.clip((ct - (c - w / 2.0)) / max(w, 1e-6), 0.0, 1.0)
+    target = np.zeros(ct.shape, dtype=bool)
+    if mask_fn is not None:
+        target = np.asarray(Image.open(mask_fn)) > 0
+    if pred.shape != ct.shape:
+        import scipy.ndimage as ndi
+
+        zoom = (ct.shape[0] / pred.shape[0], ct.shape[1] / pred.shape[1])
+        pred = ndi.zoom(pred.astype(np.uint8), zoom, order=0) > 0
+    return ct, target, pred
+
+
+def _overlay_grid_page(exp_folder, data_path, slice_df, window, n_overlay):
+    """Reference-style 4-row panel (highest/lowest Dice x ICH/non-ICH) of
+    predictions (red) + targets (green) over the real windowed CT slice
+    (reference ``analyse_exp.py:120-194``). Returns the figure, or None if
+    no overlay could be rendered."""
+    specs = [
+        (False, 1, "Highest Dice (ICH)"),
+        (True, 1, "Lowest Dice (ICH)"),
+        (False, 0, "Highest Dice (non-ICH)"),
+        (True, 0, "Lowest Dice (non-ICH)"),
+    ]
+    fig, axes = plt.subplots(
+        4, n_overlay, figsize=(2.0 * n_overlay, 8.6), squeeze=False
+    )
+    shown = 0
+    for r, (asc, lab, title) in enumerate(specs):
+        samp = slice_df[slice_df.label == lab].sort_values(
+            "Dice", ascending=asc
+        ).iloc[:n_overlay]
+        for ci in range(n_overlay):
+            ax = axes[r][ci]
+            ax.axis("off")
+            if ci >= len(samp):
+                continue
+            row = samp.iloc[ci]
+            ct, target, pred = _load_overlay_triplet(exp_folder, data_path, row, window)
+            if ct is None:
+                continue
+            imshow_pred(
+                ct, pred, target=target, ax=ax,
+                pred_color="xkcd:vermillion", target_color="forestgreen",
+            )
+            ax.set_title(
+                f"{int(row.volID):03d}/{int(row['slice']):02d}  Dice {row.Dice:.2f}",
+                fontsize=7,
+            )
+            shown += 1
+        axes[r][0].text(
+            -0.15, 0.5, title, fontsize=9, fontweight="bold", rotation=90,
+            ha="center", va="center", transform=axes[r][0].transAxes,
+        )
+    if shown == 0:
+        plt.close(fig)
+        return None
+    import matplotlib.patches as mpatches
+
+    handles = [
+        mpatches.Patch(facecolor="forestgreen", alpha=0.6),
+        mpatches.Patch(facecolor="xkcd:vermillion", alpha=0.6),
+    ]
+    fig.legend(handles, ["Ground Truth", "Prediction"], loc="lower center",
+               ncol=2, frameon=False)
+    return fig
+
+
 def analyse_supervised_exp(
     exp_folder: str,
     data_path: Optional[str] = None,
@@ -117,29 +253,43 @@ def analyse_supervised_exp(
     ax.set_xlabel("Volume Dice")
     ax.set_title("Volume Dice distribution", loc="left", fontweight="bold")
 
-    # 5. best / worst prediction overlays (if bmp artifacts + data exist)
+    # 5. best / worst prediction overlays: prediction (red) + target (green)
+    #    over the real windowed CT slice (reference analyse_exp.py:120-194)
+    window = _exp_window(exp_folder)
     axes = [fig.add_subplot(gs[2, i]) for i in range(3)]
     shown = 0
-    if slice_df is not None and data_path is not None:
-        from PIL import Image
-
+    if slice_df is not None:
         ranked = slice_df.loc[slice_df.label == 1].sort_values("Dice")
         picks = list(ranked.index[:2]) + list(ranked.index[-1:])
         for ax_i, idx in zip(axes, picks):
             row = slice_df.loc[idx]
-            pred_fn = os.path.join(
-                exp_folder, f"Fold_{int(row.Fold)}/pred", str(row.pred_fn)
+            ct, target, pred = _load_overlay_triplet(exp_folder, data_path, row, window)
+            if pred is None:
+                continue
+            if ct is None:  # no raw data available: pred bitmap only
+                ct, target = np.zeros(pred.shape, dtype=float), None
+            imshow_pred(ct, pred, target=target, ax=ax_i,
+                        pred_color="xkcd:vermillion", target_color="forestgreen")
+            ax_i.set_title(
+                f"vol {int(row.volID)} slice {int(row['slice'])} Dice {row.Dice:.2f}",
+                fontsize=8,
             )
-            if os.path.exists(pred_fn):
-                pred = np.asarray(Image.open(pred_fn)) > 0
-                imshow_pred(np.zeros_like(pred, dtype=float), pred, ax=ax_i)
-                ax_i.set_title(f"vol {int(row.volID)} slice {int(row['slice'])} Dice {row.Dice:.2f}", fontsize=8)
-                shown += 1
+            shown += 1
     for ax_i in axes[shown:]:
         ax_i.axis("off")
 
-    fig.savefig(save_fn, bbox_inches="tight")
-    plt.close(fig)
+    from matplotlib.backends.backend_pdf import PdfPages
+
+    with PdfPages(save_fn) as pdf:
+        pdf.savefig(fig, bbox_inches="tight")
+        plt.close(fig)
+        if slice_df is not None:
+            grid = _overlay_grid_page(
+                exp_folder, data_path, slice_df, window, n_overlay
+            )
+            if grid is not None:
+                pdf.savefig(grid, bbox_inches="tight")
+                plt.close(grid)
     return save_fn
 
 

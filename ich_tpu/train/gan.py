@@ -237,21 +237,23 @@ class SNPatchGAN:
         images = dataset.images
         start = time.time()
         for epoch in range(n_done, self.n_epoch):
-            eg = ed = el1 = 0.0
-            nb = 0
-            t0 = time.time()
+            # device-scalar accumulation (three scalars/step): fetch ONCE per
+            # epoch so async dispatch keeps the G/D step pipeline full
+            batch_losses, t0 = [], time.time()
             for b, idx in enumerate(
                 batch_indices(n, self.batch_size, shuffle=True, rng=host_rng, drop_last=True)
             ):
                 key = jax.random.fold_in(root_key, epoch * 100003 + b)
-                self.state, (g_loss, d_loss, l1) = step(self.state, jnp.asarray(images[idx]), key)
-                eg += float(g_loss); ed += float(d_loss); el1 += float(l1); nb += 1
+                self.state, losses_dev = step(self.state, jnp.asarray(images[idx]), key)
+                batch_losses.append(jnp.stack(losses_dev))
+            means = np.asarray(jnp.stack(batch_losses).mean(axis=0)) if batch_losses else np.zeros(3)
+            eg, ed, el1 = (float(v) for v in means)
             logger.info(
                 "\t| Epoch: %03d/%03d | Time: %s | G loss: %.5f | D loss: %.5f | L1: %.5f |",
                 epoch + 1, self.n_epoch, timedelta(seconds=int(time.time() - t0)),
-                eg / nb, ed / nb, el1 / nb,
+                eg, ed, el1,
             )
-            history.append([epoch + 1, eg / nb, ed / nb, el1 / nb])
+            history.append([epoch + 1, eg, ed, el1])
             if valid_dataset is not None and (epoch + 1) % valid_freq == 0:
                 self.validate(valid_dataset, save_path=valid_path, epoch=epoch + 1)
             if checkpoint_path and (epoch + 1) % self.checkpoint_freq == 0:

@@ -81,6 +81,7 @@ class InpaintAnomalyDetector:
         ),
         cleaning_closing_radius: int = 2,
         cleaning_opening_radius: int = 2,
+        shuffle_AD_mask_loader: bool = True,
         seed: int = 0,
     ):
         self.inpaint_fn = inpaint_fn
@@ -88,8 +89,15 @@ class InpaintAnomalyDetector:
         self.grid_step = grid_step
         self.batch_size = batch_size
         self.use_wasserstein = use_wasserstein
+        if alpha01 > alpha02 or alpha1 > alpha2:
+            raise ValueError(
+                "hysteresis thresholds need alpha01 <= alpha02 and alpha1 <= alpha2"
+            )
         self.alpha01, self.alpha02 = alpha01, alpha02
         self.alpha1, self.alpha2 = alpha1, alpha2
+        # randomize the order in which anomaly cells are inpainted, removing
+        # the upper-left-first bias (reference InpaintAnomalyDetector.py:398)
+        self.shuffle_AD_mask_loader = shuffle_AD_mask_loader
         self.n_iter = n_iter
         self.early_stop = early_stop
         self.tol = tol
@@ -157,20 +165,27 @@ class InpaintAnomalyDetector:
         t_high = q75 + (q75 - q25) * a_high
         return np.asarray(morph.hysteresis_threshold(dmap, t_low, t_high)) > 0
 
-    def _inpaint_anomaly(self, image: np.ndarray, mask: np.ndarray, grid_dim) -> np.ndarray:
+    def _inpaint_anomaly(
+        self, image: np.ndarray, mask: np.ndarray, grid_dim, rng=None
+    ) -> np.ndarray:
         """Sequentially inpaint the anomaly region one coarse grid cell at a
-        time for stability (reference ``_inpaint_anomaly:371-405``)."""
+        time for stability (reference ``_inpaint_anomaly:371-405``); with
+        ``shuffle_AD_mask_loader`` the cell order is randomized (the
+        reference's shuffled DataLoader over the cell masks)."""
         h, w = image.shape
         gh, gw = grid_dim if grid_dim is not None else (h, w)
+        cells = [(i, j) for i in range(0, h, gh) for j in range(0, w, gw)]
+        if self.shuffle_AD_mask_loader and len(cells) > 1:
+            rng = rng or np.random.default_rng(self.seed)
+            rng.shuffle(cells)
         im = image[None, ..., None]
-        for i in range(0, h, gh):
-            for j in range(0, w, gw):
-                cell = np.zeros((h, w), np.float32)
-                cell[i : i + gh, j : j + gw] = 1
-                m = (cell * mask).astype(np.float32)
-                if m.sum() == 0:
-                    continue
-                im = self.inpaint_fn(im, m[None, ..., None])
+        for i, j in cells:
+            cell = np.zeros((h, w), np.float32)
+            cell[i : i + gh, j : j + gw] = 1
+            m = (cell * mask).astype(np.float32)
+            if m.sum() == 0:
+                continue
+            im = self.inpaint_fn(im, m[None, ..., None])
         return np.asarray(im)[0, ..., 0]
 
     # -- main algorithm ----------------------------------------------------------
@@ -190,11 +205,11 @@ class InpaintAnomalyDetector:
         ma = self._threshold(d0, self.alpha01, self.alpha02)
         if verbose:
             logger.info("Anomalous pixel detected : %d", int(ma.sum()))
-        if save_dir:
-            self._save_step(save_dir, 0, d0, ma)
         ma_dil = np.asarray(morph.dilation(jnp.asarray(ma, jnp.float32),
                                            2 * self.inpainting_dilation_radius[0] + 1)) > 0
         corrected = self._inpaint_anomaly(image, ma_dil, self.grid_anomaly_inpaint[0])
+        if save_dir:
+            self._save_step(save_dir, 0, d0, ma, corrected)
 
         # phase 2: iterative cleanup
         ma_prev = ma
@@ -215,20 +230,34 @@ class InpaintAnomalyDetector:
                 logger.info("| Step %03d/%03d | Remaining anomalous pixels : %d |",
                             i + 1, self.n_iter, int(ma.sum()))
             if save_dir:
-                self._save_step(save_dir, i + 1, di, ma)
+                self._save_step(save_dir, i + 1, di, ma, corrected)
             if self.early_stop and (ma_prev ^ ma).sum() < self.tol and i < self.n_iter - 1:
                 break
             ma_prev = ma
         return ma
 
-    def _save_step(self, save_dir, i, dmap, ma):
+    def _save_step(self, save_dir, i, dmap, ma, corrected=None):
+        """Per-step artifacts with the reference's conventions
+        (``InpaintAnomalyDetector.py:168-171,215-218``): D{i}.png =
+        sqrt(D+1e-12) rescaled min->0 max->255, mA{i}.png = mask x 255,
+        im_corrected_{i}.png = corrected image rescaled to [0, 255]."""
         from PIL import Image
 
         os.makedirs(save_dir, exist_ok=True)
-        d = np.sqrt(np.asarray(dmap) + 1e-12)
-        d = (d - d.min()) / max(d.max() - d.min(), 1e-8)
-        Image.fromarray((d * 255).astype(np.uint8)).save(os.path.join(save_dir, f"D{i}.png"))
+
+        def _rescale_u8(x):
+            x = np.asarray(x, dtype=np.float64)
+            x = (x - x.min()) / max(x.max() - x.min(), 1e-12)
+            return (x * 255).astype(np.uint8)
+
+        Image.fromarray(_rescale_u8(np.sqrt(np.asarray(dmap) + 1e-12))).save(
+            os.path.join(save_dir, f"D{i}.png")
+        )
         Image.fromarray((ma * 255).astype(np.uint8)).save(os.path.join(save_dir, f"mA{i}.png"))
+        if corrected is not None:
+            Image.fromarray(_rescale_u8(corrected)).save(
+                os.path.join(save_dir, f"im_corrected_{i}.png")
+            )
 
 
 def robust_anomaly_detect(

@@ -50,13 +50,17 @@ def fit(
     start_time = time.time()
 
     for epoch in range(n_epoch_finished, n_epoch):
-        epoch_loss, n_batch, epoch_start = 0.0, 0, time.time()
+        # keep per-step losses as DEVICE scalars: a float(loss) here would
+        # block dispatch on every step (and on this image's tunneled
+        # platform each fetch is a host round-trip); fetch once per epoch
+        losses, epoch_start = [], time.time()
         for b, batch in enumerate(batches_fn(epoch)):
             key = jax.random.fold_in(root_key, epoch * 100003 + b)
             state, loss = train_step(state, batch, key)
-            epoch_loss += float(loss)
-            n_batch += 1
-        mean_loss = epoch_loss / max(n_batch, 1)
+            losses.append(loss)
+        mean_loss = (
+            float(jax.numpy.stack(losses).mean()) if losses else 0.0
+        )
 
         suffix, extra = "", []
         if validate_fn is not None:

@@ -248,7 +248,10 @@ class UNet2D:
         start_time = time.time()
 
         for epoch in range(n_epoch_finished, self.n_epoch):
-            epoch_loss, epoch_start, n_batch = 0.0, time.time(), 0
+            # device-scalar loss accumulation: no per-step host fetch, so
+            # JAX async dispatch keeps the step pipeline full (a float(loss)
+            # per batch stalls dispatch — worst on the tunneled platform)
+            losses, epoch_start = [], time.time()
             for b, idx in enumerate(
                 batch_indices(n, self.batch_size, shuffle=True, rng=host_rng)
             ):
@@ -263,10 +266,10 @@ class UNet2D:
                         bm, batch_sh if bm.ndim == bi.ndim else batch_sh
                     )
                 self.state, loss = train_step(self.state, bi, bm, key)
-                epoch_loss += float(loss)
-                n_batch += 1
+                losses.append(loss)
                 if self.print_progress:
                     print_progressbar(b, steps_per_epoch, name="\t\tTrain Batch", erase=True)
+            mean_loss = float(jnp.stack(losses).mean()) if losses else 0.0
 
             valid_str = ""
             v_all = v_pos = None
@@ -282,10 +285,10 @@ class UNet2D:
                 epoch + 1,
                 self.n_epoch,
                 timedelta(seconds=int(time.time() - epoch_start)),
-                epoch_loss / n_batch,
+                mean_loss,
                 valid_str,
             )
-            history.append([epoch + 1, epoch_loss / n_batch, v_all, v_pos])
+            history.append([epoch + 1, mean_loss, v_all, v_pos])
             if checkpoint_path and (epoch + 1) % self.checkpoint_freq == 0:
                 ckpt.save_checkpoint(checkpoint_path, self.state, epoch + 1, history)
                 logger.info("\tCheckpoint saved.")

@@ -147,7 +147,8 @@ class UNet3D(UNet2D):
         start_time = time.time()
 
         for epoch in range(n_epoch_finished, self.n_epoch):
-            epoch_loss, epoch_start = 0.0, time.time()
+            # device scalars, fetched once per epoch (keeps dispatch async)
+            losses, epoch_start = [], time.time()
             for b in range(self.steps_per_epoch_cfg):
                 imgs, msks = sample_patches(
                     host_rng, dataset, self.batch_size, self.patch_size, self.pos_frac
@@ -156,7 +157,8 @@ class UNet3D(UNet2D):
                 self.state, loss = train_step(
                     self.state, jnp.asarray(imgs), jnp.asarray(msks), key
                 )
-                epoch_loss += float(loss)
+                losses.append(loss)
+            mean_loss = float(jnp.stack(losses).mean()) if losses else 0.0
 
             valid_str = ""
             v_all = v_pos = None
@@ -169,9 +171,9 @@ class UNet3D(UNet2D):
                 "\t| Epoch: %03d/%03d | Train time: %s | Train Loss: %.6f %s|",
                 epoch + 1, self.n_epoch,
                 timedelta(seconds=int(time.time() - epoch_start)),
-                epoch_loss / self.steps_per_epoch_cfg, valid_str,
+                mean_loss, valid_str,
             )
-            history.append([epoch + 1, epoch_loss / self.steps_per_epoch_cfg, v_all, v_pos])
+            history.append([epoch + 1, mean_loss, v_all, v_pos])
             if checkpoint_path and (epoch + 1) % self.checkpoint_freq == 0:
                 ckpt.save_checkpoint(checkpoint_path, self.state, epoch + 1, history)
                 logger.info("\tCheckpoint saved.")

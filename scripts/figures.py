@@ -44,6 +44,44 @@ def dataset_stats(data_dir, out_fn):
     click.echo(f"Wrote {out_fn}")
 
 
+def _mip_three_view(vol, mask, spacing, out_fn):
+    """Axial / coronal / sagittal maximum-intensity projections with a red
+    rendered-mask overlay — the matplotlib replacement for the reference's
+    pyvista 3D volume rendering (``figure_scripts/view_volume.py:24-212``;
+    pyvista is unavailable in this image). Voxel spacing sets the aspect so
+    anisotropic CTs (e.g. 5 mm slices) are not distorted."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    sx, sy, sz = spacing
+    views = [
+        ("Axial MIP", 2, sy / sx),      # project along z, rows=x, cols=y
+        ("Coronal MIP", 1, sz / sx),    # project along y
+        ("Sagittal MIP", 0, sz / sy),   # project along x
+    ]
+    fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+    for ax, (title, axis, aspect) in zip(axes, views):
+        mip = vol.max(axis=axis)
+        if axis != 2:  # head pointing up for the through-plane views
+            mip = mip.T[::-1]
+        ax.imshow(mip, cmap="gray", vmin=0, vmax=1, aspect=aspect)
+        if mask is not None:
+            mmip = (mask > 0).max(axis=axis).astype(float)
+            if axis != 2:
+                mmip = mmip.T[::-1]
+            overlay = np.zeros(mmip.shape + (4,))
+            overlay[mmip > 0] = (0.9, 0.2, 0.1, 0.55)
+            ax.imshow(overlay, aspect=aspect)
+        ax.set_title(title, fontsize=11, fontweight="bold", loc="left")
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.savefig(out_fn, bbox_inches="tight", dpi=150)
+    plt.close(fig)
+
+
 @cli.command("view-volume")
 @click.argument("vol_path", type=click.Path(exists=True))
 @click.option("--mask-path", type=click.Path(exists=True), default=None)
@@ -51,8 +89,11 @@ def dataset_stats(data_dir, out_fn):
 @click.option("--win-center", default=50.0, type=float)
 @click.option("--win-width", default=200.0, type=float)
 @click.option("--n-slices", default=16, type=int)
-def view_volume(vol_path, mask_path, out_fn, win_center, win_width, n_slices):
-    """Montage of evenly spaced windowed slices (± mask overlay)."""
+@click.option("--mode", default="montage", type=click.Choice(["montage", "3d"]),
+              help="'montage' = slice grid; '3d' = axial/coronal/sagittal MIP three-view")
+def view_volume(vol_path, mask_path, out_fn, win_center, win_width, n_slices, mode):
+    """Inspect a NIfTI volume: slice montage or 3D MIP three-view
+    (± mask overlay)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -63,11 +104,17 @@ def view_volume(vol_path, mask_path, out_fn, win_center, win_width, n_slices):
     from ich_tpu.ops.ct import window_ct
     from ich_tpu.postprocessing.plots import imshow_pred
 
-    vol, _, _ = nifti.load(vol_path)
+    vol, affine, _ = nifti.load(vol_path)
     vol = np.asarray(window_ct(vol.astype(np.float32), win_center, win_width))
     mask = None
     if mask_path:
         mask, _, _ = nifti.load(mask_path)
+    if mode == "3d":
+        spacing = np.abs(np.asarray(affine)[:3, :3]).max(axis=0)
+        spacing = np.where(spacing > 0, spacing, 1.0)
+        _mip_three_view(vol, mask, spacing, out_fn)
+        click.echo(f"Wrote {out_fn}")
+        return
     zs = np.linspace(0, vol.shape[2] - 1, n_slices).astype(int)
     ncol = 4
     nrow = -(-n_slices // ncol)

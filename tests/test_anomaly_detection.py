@@ -17,6 +17,7 @@ KEY = jax.random.PRNGKey(0)
 
 # ---------------- masks ----------------
 
+@pytest.mark.slow
 def test_random_ff_mask_properties():
     m = np.asarray(M.random_ff_masks(KEY, 4, (64, 64)))
     assert m.shape == (4, 64, 64)
@@ -77,6 +78,7 @@ def tiny_gan():
     return gan, data
 
 
+@pytest.mark.slow
 def test_gan_training_runs(tiny_gan):
     gan, data = tiny_gan
     hist = gan.outputs["train"]["evolution"]
@@ -84,6 +86,7 @@ def test_gan_training_runs(tiny_gan):
     assert all(np.isfinite(h[1]) and np.isfinite(h[2]) for h in hist)
 
 
+@pytest.mark.slow
 def test_gan_inpaint_composites(tiny_gan):
     gan, data = tiny_gan
     imgs = data.images[:2]
@@ -95,6 +98,7 @@ def test_gan_inpaint_composites(tiny_gan):
     np.testing.assert_allclose(out[..., 0] * (1 - m), imgs * (1 - m), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gan_save_load_roundtrip(tiny_gan, tmp_path):
     gan, data = tiny_gan
     path = str(tmp_path / "gan.bin")
@@ -113,6 +117,7 @@ def test_gan_save_load_roundtrip(tiny_gan, tmp_path):
 
 # ---------------- AE trainer ----------------
 
+@pytest.mark.slow
 def test_ae_trainer():
     data = synthetic_ich_slices(n_slices=16, size=32, n_volumes=2, seed=1)
     ae = AE(AENet(latent_channels=4, bottleneck_channels=4, n_conv=2, kernel_size=3),
@@ -123,6 +128,7 @@ def test_ae_trainer():
     assert hist[-1][1] < hist[0][1]  # reconstruction improves
 
 
+@pytest.mark.slow
 def test_ae_trainer_gdl_schedule():
     """The epoch-keyed lambda_GDL schedule adds the (large-magnitude) GDL
     term starting at the scheduled epoch (reference AE.py:99-103)."""
@@ -141,6 +147,7 @@ def test_ae_trainer_gdl_schedule():
 
 # ---------------- FCDD trainer ----------------
 
+@pytest.mark.slow
 def test_fcdd_trainer():
     ds = synthetic_rsna_slices(n_slices=32, size=32, seed=2, positive_frac=0.3)
     data = LabeledSliceDataset(ds.images, ds.labels[:, 0])
@@ -225,3 +232,130 @@ def test_robust_anomaly_detect():
     assert final.shape == (32, 32)
     assert 0 <= amap.min() and amap.max() <= 1
     assert final[14:18, 14:18].mean() > 0.5
+
+
+# ---------------- reference parity (torch CPU, skimage stubbed) ----------------
+
+def _import_reference_ad():
+    """Import the reference's InpaintAnomalyDetector with unavailable
+    heavy deps (skimage) stubbed — the pieces under test (grid masks, error
+    sampling, KL) never call them."""
+    import sys
+    import types
+
+    from tests.conftest import REFERENCE_ROOT, reference_available
+
+    if not reference_available():
+        return None
+    for name in ("skimage", "skimage.morphology", "skimage.filters", "skimage.io"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import src.models.optim.InpaintAnomalyDetector as ref_ad
+
+    return ref_ad
+
+
+def test_grid_masks_match_reference():
+    ref_ad = _import_reference_ad()
+    if ref_ad is None:
+        pytest.skip("no reference checkout")
+    ours = make_grid_masks((64, 48), hole_size=(16, 16), step=8)
+    ref = ref_ad.InpaintAnomalyDetector._get_grid_mask((64, 48), hole_size=(16, 16), step=8)
+    np.testing.assert_array_equal(ours, ref.astype(np.float32))
+
+
+def test_kl_divergence_matches_reference():
+    ref_ad = _import_reference_ad()
+    if ref_ad is None:
+        pytest.skip("no reference checkout")
+    import torch
+
+    rng = np.random.default_rng(3)
+    m1, m2 = rng.normal(size=(32, 32)), rng.normal(size=(32, 32))
+    s1, s2 = rng.uniform(0.1, 2.0, (32, 32)), rng.uniform(0.1, 2.0, (32, 32))
+    ours = np.asarray(
+        InpaintAnomalyDetector.kl_divergence_normal(
+            (jnp.asarray(m1, jnp.float32), jnp.asarray(s1, jnp.float32)),
+            (jnp.asarray(m2, jnp.float32), jnp.asarray(s2, jnp.float32)),
+        )
+    )
+    ref = ref_ad.InpaintAnomalyDetector.kl_divergence_normal(
+        (torch.tensor(m1), torch.tensor(s1)), (torch.tensor(m2), torch.tensor(s2))
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_error_moments_match_reference():
+    """One full error-sampling pass: the reference's _pixelwise_error raw
+    sample and our masked-moment accumulation must agree on per-pixel
+    mean/std given the SAME (weight-shared) inpainting function."""
+    ref_ad = _import_reference_ad()
+    if ref_ad is None:
+        pytest.skip("no reference checkout")
+    import torch
+
+    class _FakeNet(torch.nn.Module):
+        # deterministic stand-in generator: linear map of the masked image
+        def forward(self, masked_im, mask):
+            return 0.5 * masked_im + 0.25
+
+        def to(self, device):
+            return self
+
+    def fake_inpaint(im, m):  # identical math, composite semantics
+        im, m = np.asarray(im), np.asarray(m)
+        masked = im * (1 - m)
+        return masked + (0.5 * masked + 0.25) * m
+
+    rng = np.random.default_rng(5)
+    image = rng.uniform(0, 1, size=(32, 32)).astype(np.float32)
+    grids = make_grid_masks((32, 32), hole_size=(8, 8), step=8)
+
+    ref_det = ref_ad.InpaintAnomalyDetector(_FakeNet(), device="cpu", batch_size=4)
+    err_ref = ref_det._pixelwise_error(torch.tensor(image).unsqueeze(0), grids)[:, 0]
+
+    ours = InpaintAnomalyDetector(fake_inpaint, batch_size=4)
+    mean, std, err, g = ours._error_moments(jnp.asarray(image), jnp.asarray(grids))
+    np.testing.assert_allclose(np.asarray(mean), err_ref.mean(axis=0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(std), err_ref.std(axis=0), atol=1e-5)
+
+
+def test_shuffle_ad_mask_loader_knob():
+    """shuffle on/off must both converge to a fully-inpainted region; the
+    order knob exists for the reference's upper-left-bias removal."""
+    def fake_inpaint(im, m):
+        im, m = np.asarray(im), np.asarray(m)
+        return im * (1 - m) + 0.5 * m  # constant fill
+
+    image = np.zeros((16, 16), np.float32)
+    mask = np.zeros((16, 16), bool)
+    mask[2:10, 3:12] = True
+    for shuffle in (False, True):
+        det = InpaintAnomalyDetector(
+            fake_inpaint, shuffle_AD_mask_loader=shuffle, seed=1
+        )
+        out = det._inpaint_anomaly(image, mask, (8, 8))
+        np.testing.assert_allclose(out[mask], 0.5)
+        np.testing.assert_allclose(out[~mask], 0.0)
+
+
+def test_detect_saves_reference_artifacts(tmp_path):
+    def fake_inpaint(im, m):
+        im, m = np.asarray(im), np.asarray(m)
+        return im * (1 - m) + 0.3 * m
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (32, 32)).astype(np.float32)
+    det = InpaintAnomalyDetector(
+        fake_inpaint, grid_hole=(8, 8), grid_step=8, batch_size=4, n_iter=1,
+        grid_anomaly_inpaint=((16, 16), (16, 16)),
+    )
+    out_dir = str(tmp_path / "steps")
+    det.detect(img, save_dir=out_dir)
+    import os
+
+    for fn in ("D0.png", "mA0.png", "im_corrected_0.png",
+               "D1.png", "mA1.png", "im_corrected_1.png"):
+        assert os.path.exists(os.path.join(out_dir, fn)), fn

@@ -9,6 +9,9 @@ import pytest
 from ich_tpu.data import synthetic_ich_slices
 from ich_tpu.experiments import run_supervised_2d
 
+pytestmark = pytest.mark.slow  # end-to-end: excluded from the fast subset
+
+
 
 def _cfg(tmp_path, n_fold=2):
     return {

@@ -22,6 +22,7 @@ from ich_tpu.models import (
 KEY = jax.random.PRNGKey(0)
 
 
+@pytest.mark.slow
 def test_ae_shapes_and_tanh_range():
     net = AENet(latent_channels=8, bottleneck_channels=8, n_conv=2, kernel_size=3)
     x = jnp.zeros((2, 32, 32, 1))
@@ -33,6 +34,7 @@ def test_ae_shapes_and_tanh_range():
     assert (o >= -1).all() and (o <= 1).all()
 
 
+@pytest.mark.slow
 def test_ae_bilinear_decoder():
     net = AENet(latent_channels=4, bottleneck_channels=4, n_conv=2, bilinear=True, kernel_size=3)
     v = net.init(KEY, jnp.zeros((1, 16, 16, 1)))
@@ -41,6 +43,7 @@ def test_ae_bilinear_decoder():
 
 
 @pytest.mark.parametrize("factory,blocks", [(resnet18, 8), (resnet50, 16)])
+@pytest.mark.slow
 def test_resnet_shapes(factory, blocks):
     net = factory(num_classes=2)
     x = jnp.zeros((2, 64, 64, 1))
@@ -51,6 +54,7 @@ def test_resnet_shapes(factory, blocks):
     assert feats.shape == (2, exp_feats)
 
 
+@pytest.mark.slow
 def test_gated_unet():
     net = UNet(depth=3, top_filter=4, gated=True, p_dropout=0.0)
     x = jnp.zeros((1, 32, 32, 2))  # image + attention channel
@@ -62,6 +66,7 @@ def test_gated_unet():
     assert kern.shape[-1] == 2 * (4 // 2)  # 2 * mid_channels
 
 
+@pytest.mark.slow
 def test_fcdd_score_map_and_heatmap():
     net = FCDD_CNN_VGG()
     x = jnp.zeros((1, 64, 64, 1))
@@ -106,6 +111,7 @@ def test_contextual_attention_reconstructs_from_bg():
     assert d.mean() < 0.15
 
 
+@pytest.mark.slow
 def test_gated_generator_masked_region_only():
     g = GatedGenerator(lat_channels=4, context_attention=True, return_coarse=True)
     img = jax.random.uniform(KEY, (1, 32, 32, 1))
@@ -116,6 +122,7 @@ def test_gated_generator_masked_region_only():
     assert (np.asarray(fine) >= 0).all() and (np.asarray(fine) <= 1).all()
 
 
+@pytest.mark.slow
 def test_sa_gated_generator_and_discriminator():
     g = SAGatedGenerator(lat_channels=4)
     img = jax.random.uniform(KEY, (1, 32, 32, 1))

@@ -1,0 +1,58 @@
+"""Multi-host (2-process) data parallelism over jax.distributed + Gloo CPU
+collectives — exercises ``ich_tpu.parallel.mesh.initialize_multihost`` end to
+end (the reference has no multi-node path at all; SURVEY §2.8)."""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_train_step():
+    """Two coordinated processes (2 virtual CPU devices each) run one
+    data-parallel training epoch through the standard UNet2D trainer path on
+    the 4-device global mesh; the globally-psum'd loss must be identical on
+    both hosts."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # isolate from the test process's compilation-cache env (harmless either way)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ich_tpu_jax_cache")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    losses = []
+    for out in outs:
+        m = re.search(r"FINAL_LOSS ([0-9.eE+-]+)", out)
+        assert m, f"no FINAL_LOSS in worker output:\n{out}"
+        losses.append(float(m.group(1)))
+    assert losses[0] == pytest.approx(losses[1], abs=0.0)  # bitwise-identical
+    assert 0.0 < losses[0] < 1.5

@@ -20,6 +20,7 @@ def mesh():
     return make_mesh(jax.devices()[:8], axis_names=("data",))
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step(mesh):
     """The UNet2D jitted step under a batch-sharded layout: loss finite and
     numerically equal to the single-device result."""
@@ -87,6 +88,7 @@ def test_sharded_sliding_window_identity(mesh):
     np.testing.assert_allclose(np.asarray(out)[..., 0], vol, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_sliding_window_matches_single_device(mesh):
     """With a real conv net, the sharded result matches the single-device
     path away from the global H edges (edge patch grids may differ by one
@@ -111,6 +113,7 @@ def test_sharded_sliding_window_matches_single_device(mesh):
     np.testing.assert_allclose(a[:, 8:-8], b[:, 8:-8], atol=2e-3)
 
 
+@pytest.mark.slow
 def test_trainer_mesh_argument(mesh):
     """UNet2D(mesh=...) trains data-parallel end to end via the public API."""
     from ich_tpu.data import synthetic_ich_slices
@@ -126,6 +129,7 @@ def test_trainer_mesh_argument(mesh):
     assert hist[-1][1] < hist[0][1] * 1.2
 
 
+@pytest.mark.slow
 def test_ssl_trainers_mesh(mesh):
     """Contrastive + classifier pretraining under the mesh (dp via the
     public mesh= argument)."""
@@ -147,6 +151,7 @@ def test_ssl_trainers_mesh(mesh):
     assert np.isfinite(clf.outputs["train"]["evolution"][0][1])
 
 
+@pytest.mark.slow
 def test_graft_dryrun():
     import __graft_entry__ as g
 

@@ -44,6 +44,50 @@ def test_analyse_supervised_exp_pdf(exp_dir, tmp_path):
     assert os.path.getsize(pdf) > 5000
 
 
+def test_analyse_supervised_exp_real_ct_overlays(exp_dir, tmp_path):
+    """Overlay panels must show the REAL windowed CT + green target under the
+    red prediction when data_path is provided (reference analyse_exp.py:120-194)."""
+    import pandas as pd
+
+    from ich_tpu.data import write_segich_tree
+    from ich_tpu.postprocessing.analyse_exp import _load_overlay_triplet
+
+    # the exp fixture's Fold_1 test set is synthetic_ich_slices(..., seed=50)
+    ds = synthetic_ich_slices(16, 32, 2, seed=50)
+    tree = write_segich_tree(ds, str(tmp_path / "data"))
+
+    slice_df = pd.read_csv(
+        os.path.join(exp_dir, "Fold_1/pred/slice_prediction_scores.csv"), index_col=0
+    )
+    slice_df["Fold"] = 1
+    pos = slice_df[slice_df.label == 1]
+    assert len(pos) > 0
+    ct, target, pred = _load_overlay_triplet(exp_dir, tree, pos.iloc[0], (50, 200))
+    assert ct is not None and float(np.std(ct)) > 0.02  # real CT, not zeros
+    assert target is not None and target.any()
+    assert pred is not None and pred.shape == ct.shape
+
+    pdf = str(tmp_path / "overview_real.pdf")
+    analyse_supervised_exp(exp_dir, data_path=tree, n_fold=2, save_fn=pdf)
+    raw = open(pdf, "rb").read()
+    # page 1 overview + page 2 four-row overlay grid
+    assert raw.count(b"/Type /Page") >= 2
+
+
+def test_segich_tree_roundtrip(tmp_path):
+    """write_segich_tree (PhysioNet layout, mask_fn='None' negatives) must
+    round-trip through load_segich_2d."""
+    from ich_tpu.data import write_segich_tree
+    from ich_tpu.data.segich import load_segich_2d
+
+    ds = synthetic_ich_slices(12, 32, 2, seed=7)
+    tree = write_segich_tree(ds, str(tmp_path / "physio"))
+    out = load_segich_2d(tree, window=(50, 200), size=32)
+    np.testing.assert_allclose(out.images, ds.images, atol=2e-3)
+    np.testing.assert_allclose(out.masks, (ds.masks > 0).astype(np.float32))
+    np.testing.assert_array_equal(out.vol_ids, ds.vol_ids)
+
+
 def test_update_pred_folder(exp_dir):
     ds = synthetic_ich_slices(16, 32, 2, seed=50)
     # brain mask = everything -> scores unchanged; then empty -> TP=0

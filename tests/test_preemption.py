@@ -1,3 +1,4 @@
+import pytest
 import os
 
 import numpy as np
@@ -6,6 +7,9 @@ from ich_tpu.data import synthetic_ich_slices
 from ich_tpu.models import UNet
 from ich_tpu.train.segmentation2d import UNet2D
 from ich_tpu.utils import preemption
+
+pytestmark = pytest.mark.slow  # end-to-end: excluded from the fast subset
+
 
 
 def test_preemption_checkpoints_and_stops(tmp_path):

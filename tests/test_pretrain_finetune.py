@@ -7,12 +7,15 @@ import pytest
 
 from ich_tpu.data import synthetic_ich_slices, synthetic_rsna_slices
 from ich_tpu.experiments.pretrain_finetune import (
+
     label_efficiency_sweep,
     pretrain_classifier,
     pretrain_context_restoration,
     pretrain_contrastive,
     run_supervised_2d_with_init,
 )
+
+pytestmark = pytest.mark.slow  # end-to-end: excluded from the fast subset
 
 
 def _cfg(tmp_path, name="ssl"):

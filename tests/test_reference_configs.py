@@ -90,6 +90,7 @@ def test_all_referenced_names_are_registered():
     assert not missing, f"unresolved names: {missing}"
 
 
+@pytest.mark.slow
 def test_flagship_config_builds_verbatim():
     """UNet2D_config.json → net + loss + schedule + augmentation via our
     builders, then one forward step."""

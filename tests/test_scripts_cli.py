@@ -12,6 +12,9 @@ from click.testing import CliRunner
 SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
 sys.path.insert(0, SCRIPTS)
 
+pytestmark = pytest.mark.slow  # end-to-end: excluded from the fast subset
+
+
 
 @pytest.fixture(scope="module")
 def nifti_dataset(tmp_path_factory):
@@ -138,3 +141,14 @@ def test_figures_cli(nifti_dataset, tmp_path):
     )
     assert r.exit_code == 0, r.output
     assert os.path.getsize(mont) > 2000
+
+    # 3D MIP three-view (the pyvista view_volume.py replacement)
+    mip = str(tmp_path / "mip3d.png")
+    r = CliRunner().invoke(
+        figures.cli,
+        ["view-volume", str(nifti_dataset / "ct_scans" / "001.nii"),
+         "--mask-path", str(nifti_dataset / "masks" / "001.nii"),
+         "--out-fn", mip, "--mode", "3d"],
+    )
+    assert r.exit_code == 0, r.output
+    assert os.path.getsize(mip) > 2000

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -61,6 +62,7 @@ def test_identity_blend_general_path():
     np.testing.assert_allclose(np.asarray(out)[..., 0], vol, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_coset_equals_general_path():
     """The fast path and the general path agree on a real network."""
     from ich_tpu.models import UNet

@@ -38,6 +38,7 @@ def data():
     return synthetic_ich_slices(n_slices=48, size=32, n_volumes=6, seed=1)
 
 
+@pytest.mark.slow
 def test_train_improves_and_outputs_schema(data, caplog):
     t = _trainer(n_epoch=4)
     with caplog.at_level(logging.INFO):
@@ -51,6 +52,7 @@ def test_train_improves_and_outputs_schema(data, caplog):
     assert any("Epoch: 001" in r.message for r in caplog.records)
 
 
+@pytest.mark.slow
 def test_evaluate_artifacts(data, tmp_path):
     t = _trainer(n_epoch=1)
     t.train(data)
@@ -68,6 +70,7 @@ def test_evaluate_artifacts(data, tmp_path):
     assert set(np.unique(arr)) <= {0, 255}
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(data, tmp_path, caplog):
     path = str(tmp_path / "ckpt.bin")
     t1 = _trainer(n_epoch=2, checkpoint_freq=1)
@@ -81,6 +84,7 @@ def test_checkpoint_resume(data, tmp_path, caplog):
     assert len(t2.outputs["train"]["evolution"]) == 4  # 2 restored + 2 new
 
 
+@pytest.mark.slow
 def test_save_load_model_roundtrip(data, tmp_path):
     t1 = _trainer(n_epoch=1)
     t1.train(data)

@@ -34,6 +34,7 @@ def _vol_dataset(n=3, size=24, depth=16):
     return VolumeDataset3D(vols, masks, np.arange(n))
 
 
+@pytest.mark.slow
 def test_unet3d_train_eval():
     ds = _vol_dataset()
     net = UNet(depth=2, ndim=3, top_filter=4, p_dropout=0.0, norm="group")
@@ -53,6 +54,7 @@ def test_unet3d_train_eval():
     assert set(np.unique(pred)) <= {0, 1}
 
 
+@pytest.mark.slow
 def test_context_restoration_and_transfer():
     data = synthetic_ich_slices(n_slices=32, size=32, n_volumes=4, seed=0)
     net = UNet(depth=3, top_filter=4, p_dropout=0.0, use_final_activation=False)
@@ -79,6 +81,7 @@ def test_context_restoration_and_transfer():
     np.testing.assert_array_equal(np.asarray(src), dst)
 
 
+@pytest.mark.slow
 def test_global_contrastive():
     data = synthetic_ich_slices(n_slices=32, size=32, n_volumes=4, seed=1)
     enc = UNetEncoder(depth=3, top_filter=4, mlp_head=(16, 8), p_dropout=0.0)
@@ -91,6 +94,7 @@ def test_global_contrastive():
     assert hist[1][1] < hist[0][1] + 0.5
 
 
+@pytest.mark.slow
 def test_local_contrastive_with_frozen_transfer():
     data = synthetic_ich_slices(n_slices=16, size=32, n_volumes=2, seed=2)
     enc = UNetEncoder(depth=3, top_filter=4, mlp_head=(16, 8), p_dropout=0.0)
@@ -132,6 +136,7 @@ def test_lazy_init_then_train_uses_epoch_schedule_cadence():
     assert 2e-4 < mag < 8e-4
 
 
+@pytest.mark.slow
 def test_binary_classifier():
     ds = synthetic_rsna_slices(n_slices=64, size=32, seed=3)
     data = LabeledSliceDataset(ds.images, ds.labels[:, 0].astype(np.int32))

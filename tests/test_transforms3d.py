@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,7 @@ def test_rotate_in_plane_mask_binary():
     assert oi.shape == vol.shape and om.shape == mask.shape
 
 
+@pytest.mark.slow
 def test_default_patch_augmentation_in_unet3d():
     from ich_tpu.data import VolumeDataset3D, synthetic_ich_volume
     from ich_tpu.models import UNet

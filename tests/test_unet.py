@@ -47,6 +47,7 @@ def test_unet2d_no_final_activation():
     assert np.asarray(y).min() < 0  # raw logits
 
 
+@pytest.mark.slow
 def test_unet3d_shapes():
     model = UNet(depth=3, ndim=3, top_filter=4, p_dropout=0.0)
     x = jnp.zeros((1, 16, 16, 16, 1))
@@ -64,6 +65,7 @@ def test_unet_bilinear():
     assert not any("up_samp" in jax.tree_util.keystr(p) for p, _ in flat)
 
 
+@pytest.mark.slow
 def test_unet_bottleneck_and_train_mode():
     model = UNet(depth=3, top_filter=4, p_dropout=0.3)
     x = jnp.zeros((2, 32, 32, 1))
