@@ -9,6 +9,7 @@ redistributable; SURVEY §2.9).
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import numpy as np
@@ -39,8 +40,17 @@ def synthetic_ich_slices(
     n_volumes: int = 8,
     seed: int = 0,
     positive_frac: float = 0.6,
+    lesion_intensity: float = 0.75,
+    lesion_noise: float = 0.05,
+    texture_amp: float = 0.0,
 ) -> SliceDataset2D:
-    """Windowed-intensity [0,1] slices with lesions; returns SliceDataset2D."""
+    """Windowed-intensity [0,1] slices with lesions; returns SliceDataset2D.
+
+    ``texture_amp > 0`` superimposes smooth per-patient low-frequency
+    texture (gyri-like structure shared by all slices of a volume), and a
+    ``lesion_intensity`` near the 0.35 tissue mean makes lesions
+    low-contrast — the "hard" regime used by the label-efficiency
+    benchmark, where pretraining that models texture transfers value."""
     rng = np.random.default_rng(seed)
     h = w = size
     yy, xx = np.mgrid[0:h, 0:w]
@@ -54,14 +64,31 @@ def synthetic_ich_slices(
     slice_nbrs = np.concatenate(
         [np.arange((vol_ids == v).sum()) for v in range(n_volumes)]
     )[:n_slices]
+    textures = {}
+    if texture_amp > 0.0:
+        for v in range(n_volumes):
+            t = np.zeros((h, w), dtype=np.float32)
+            for _ in range(4):
+                fy, fx = rng.uniform(2.0, 7.0, size=2)
+                ph = rng.uniform(0, 2 * np.pi, size=2)
+                t += np.sin(2 * np.pi * fy * yy / h + ph[0]) * np.sin(
+                    2 * np.pi * fx * xx / w + ph[1]
+                )
+            textures[v] = texture_amp * (t / 4.0).astype(np.float32)
     for i in range(n_slices):
         tissue = 0.35 + 0.08 * rng.standard_normal((h, w)).astype(np.float32)
+        if texture_amp > 0.0:
+            tissue = tissue + textures[int(vol_ids[i])]
         if rng.uniform() < positive_frac:
             lesion = _lesion_mask_2d(rng, h, w) * brain
         else:
             lesion = np.zeros((h, w), dtype=np.float32)
         img = tissue * brain + 1.0 * skull
-        img = np.where(lesion > 0, 0.75 + 0.05 * rng.standard_normal((h, w)), img)
+        img = np.where(
+            lesion > 0,
+            lesion_intensity + lesion_noise * rng.standard_normal((h, w)),
+            img,
+        )
         images[i] = np.clip(img, 0.0, 1.0)
         masks[i] = lesion
     return SliceDataset2D(images, masks, vol_ids, slice_nbrs)
@@ -139,6 +166,94 @@ def write_segich_tree(
     pd.DataFrame(
         [{"PatientNumber": k, "Hemorrhage": v} for k, v in sorted(patients.items())]
     ).to_csv(os.path.join(out_dir, "patient_info.csv"))
+    return out_dir
+
+
+def write_rsna_tree(out_dir: str, n_slices: int = 12, size: int = 32, seed: int = 0) -> str:
+    """Write a spec-faithful RSNA stage-2 on-disk fixture:
+
+    - ``stage_2_train/ID_<sop>.dcm`` CT slices (explicit-VR LE, slope 1 /
+      intercept -1024 like the real export),
+    - ``stage_2_train.csv`` in the raw long label format
+      (``ID,Label`` with ``ID = ID_<sop>_<subtype>``, 6 rows per slice)
+      including the real dataset's quirks: duplicated label rows and the
+      corrupted ``ID_6431af929`` entry the reference drops
+      (``generate_RSNA_csv.py:42-44``).
+
+    Returns the path of the label csv. Pipe through the ``gen-rsna-csv``
+    CLI to obtain ``slice_info.csv`` for ``load_rsna_slices``."""
+    import csv
+
+    from ich_tpu.data.dicom import write_minimal_dicom
+
+    subtypes = ["any", "epidural", "intraparenchymal", "intraventricular",
+                "subarachnoid", "subdural"]
+    rng = np.random.default_rng(seed)
+    ds = synthetic_ich_slices(n_slices=n_slices, size=size, seed=seed)
+    dcm_dir = os.path.join(out_dir, "stage_2_train")
+    os.makedirs(dcm_dir, exist_ok=True)
+    rows = []
+    for i in range(n_slices):
+        sop = f"{seed:03x}{i:06x}"
+        hu = ds.images[i] * 200.0 - 50.0  # back to a HU-like range
+        write_minimal_dicom(
+            os.path.join(dcm_dir, f"ID_{sop}.dcm"),
+            np.round(hu + 1024.0).astype(np.int16),  # stored + intercept
+            slope=1.0, intercept=-1024.0,
+            position=(0.0, 0.0, float(i) * 5.0),
+        )
+        has_ich = int(ds.masks[i].max() > 0)
+        labels = {"any": has_ich}
+        sub = subtypes[1 + int(rng.integers(0, 5))]
+        for st in subtypes[1:]:
+            labels[st] = has_ich if st == sub else 0
+        for st in subtypes:
+            rows.append((f"ID_{sop}_{st}", labels[st]))
+        if i % 3 == 0:  # the stage-2 csv contains duplicated rows
+            rows.append((f"ID_{sop}_any", labels["any"]))
+    # the corrupted slice: labels present, no readable pixel data
+    for st in subtypes:
+        rows.append((f"ID_6431af929_{st}", 0))
+    with open(os.path.join(out_dir, "stage_2_train.csv"), "w", newline="") as f:
+        wtr = csv.writer(f)
+        wtr.writerow(["ID", "Label"])
+        wtr.writerows(rows)
+    return os.path.join(out_dir, "stage_2_train.csv")
+
+
+def write_cq500_tree(
+    out_dir: str, n_patients: int = 2, n_slices: int = 6, size: int = 32, seed: int = 0
+) -> str:
+    """Write a spec-faithful qureAI CQ500 root: one DICOM-series directory
+    per numeric patient id, file naming NOT in z order (slice position is
+    carried by ImagePositionPatient, which ``series_to_volume`` must sort
+    by — the real series' instance ordering), plus ``ICH_probabilities.csv``
+    indexed by patient id (``qureAI_extract_as_nifti.py:55-60``)."""
+    import pandas as pd
+
+    from ich_tpu.data.dicom import write_minimal_dicom
+
+    rng = np.random.default_rng(seed)
+    prob_rows = []
+    for pid in range(n_patients):
+        pdir = os.path.join(out_dir, str(pid))
+        os.makedirs(pdir, exist_ok=True)
+        ds = synthetic_ich_slices(n_slices=n_slices, size=size, seed=seed + pid)
+        order = rng.permutation(n_slices)  # filename order != z order
+        for file_idx, z_idx in enumerate(order):
+            hu = ds.images[z_idx] * 200.0 - 50.0
+            write_minimal_dicom(
+                os.path.join(pdir, f"CT-{file_idx:04d}.dcm"),
+                np.round(hu + 1024.0).astype(np.int16),
+                slope=1.0, intercept=-1024.0,
+                spacing=(0.5, 0.5),
+                position=(0.0, 0.0, float(z_idx) * 5.0),
+            )
+        prob_rows.append({"id": pid, "ICH": float(rng.uniform()),
+                          "IPH": float(rng.uniform())})
+    pd.DataFrame(prob_rows).set_index("id").to_csv(
+        os.path.join(out_dir, "ICH_probabilities.csv")
+    )
     return out_dir
 
 

@@ -20,6 +20,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import weakref
 from typing import Optional, Tuple
 
 import numpy as np
@@ -75,6 +76,13 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.fastload_free.restype = None
     lib.fastload_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.nifti_read_many.restype = None
+    lib.nifti_read_many.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+    ]
     lib.window_resize_batch.restype = None
     lib.window_resize_batch.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -112,6 +120,49 @@ def load_nifti_f32(path: str) -> Tuple[np.ndarray, np.ndarray]:
     ndim = int(dims[0])
     shape = tuple(int(d) for d in dims[1 : 1 + ndim])
     return out.reshape(shape, order="F"), pixdim[1 : 1 + ndim]
+
+
+def load_nifti_batch(
+    paths, n_threads: Optional[int] = None
+) -> "list[Tuple[np.ndarray, np.ndarray]]":
+    """Decode many NIfTI files concurrently (file-level C++ thread pool —
+    each gzip stream is serial, so parallelism comes from the batch).
+    Returns [(volume, pixdim), ...] in input order; raises on any failure."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native fastload unavailable")
+    n = len(paths)
+    if n == 0:
+        return []
+    if n_threads is None:
+        n_threads = min(16, os.cpu_count() or 1)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    ptrs = (ctypes.POINTER(ctypes.c_float) * n)()
+    dims = np.zeros((n, 8), np.int32)
+    pixdim = np.zeros((n, 8), np.float32)
+    status = np.zeros(n, np.int64)
+    lib.nifti_read_many(
+        c_paths, n, ptrs,
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pixdim.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_threads,
+    )
+    bad = [(paths[i], int(status[i])) for i in range(n) if status[i] < 0]
+    if bad:
+        for i in range(n):
+            if ptrs[i]:
+                lib.fastload_free(ptrs[i])
+        raise IOError(f"nifti_read_many failed: {bad}")
+    out = []
+    for i in range(n):
+        cnt = int(status[i])
+        # zero-copy: wrap the C buffer and free it when the array dies
+        arr = np.ctypeslib.as_array(ptrs[i], shape=(cnt,))
+        weakref.finalize(arr.base, lib.fastload_free, ptrs[i])
+        ndim = int(dims[i, 0])
+        shape = tuple(int(d) for d in dims[i, 1 : 1 + ndim])
+        out.append((arr.reshape(shape, order="F"), pixdim[i, 1 : 1 + ndim]))
+    return out
 
 
 def window_resize_batch(

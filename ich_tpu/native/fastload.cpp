@@ -32,10 +32,31 @@ struct NiftiHeader {
     float scl_inter;
 };
 
+// peek the gzip footer's ISIZE (uncompressed length mod 2^32) to presize
+// the output buffer; returns 0 when not gzip / unreadable
+size_t gzip_isize_hint(const char* path) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return 0;
+    unsigned char magic[2] = {0, 0};
+    size_t hint = 0;
+    if (std::fread(magic, 1, 2, f) == 2 && magic[0] == 0x1f && magic[1] == 0x8b &&
+        std::fseek(f, -4, SEEK_END) == 0) {
+        unsigned char tail[4];
+        if (std::fread(tail, 1, 4, f) == 4)
+            hint = (size_t)tail[0] | ((size_t)tail[1] << 8) |
+                   ((size_t)tail[2] << 16) | ((size_t)tail[3] << 24);
+    }
+    std::fclose(f);
+    return hint;
+}
+
 // read whole file (gzip-transparent: gzread handles plain files too)
 bool read_all(const char* path, std::vector<unsigned char>& buf) {
     gzFile f = gzopen(path, "rb");
     if (!f) return false;
+    gzbuffer(f, 1 << 20);  // default 8 KB internal buffer cripples gzread
+    size_t hint = gzip_isize_hint(path);
+    if (hint > 0 && hint < ((size_t)1 << 40)) buf.reserve(hint + 1);
     const size_t chunk = 1 << 20;
     size_t used = 0;
     while (true) {
@@ -187,6 +208,38 @@ int64_t nifti_read_alloc(const char* path, float** out_ptr,
 }
 
 void fastload_free(float* p) { free(p); }
+
+// Thread-pooled multi-file decode: the host-side ingest of a study is many
+// independent gzip streams, so file-level threads scale with cores (the
+// single-file path is inherently serial — gzip can't be split). Each file's
+// volume is malloc'd into out_ptrs[i] (release with fastload_free);
+// status[i] = element count (>0) or the per-file error code (<0).
+// dims_out/pixdim_out are (n_files * 8) arrays.
+void nifti_read_many(const char** paths, int n_files, float** out_ptrs,
+                     int32_t* dims_out, float* pixdim_out,
+                     int64_t* status, int n_threads) {
+    auto work = [&](int i0, int i1) {
+        for (int i = i0; i < i1; ++i) {
+            out_ptrs[i] = nullptr;
+            status[i] = nifti_read_alloc(paths[i], &out_ptrs[i],
+                                         dims_out + (int64_t)i * 8,
+                                         pixdim_out + (int64_t)i * 8);
+        }
+    };
+    if (n_threads <= 1 || n_files <= 1) {
+        work(0, n_files);
+        return;
+    }
+    int nt = n_threads < n_files ? n_threads : n_files;
+    std::vector<std::thread> pool;
+    int per = (n_files + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+        int s0 = t * per, s1 = s0 + per < n_files ? s0 + per : n_files;
+        if (s0 >= s1) break;
+        pool.emplace_back(work, s0, s1);
+    }
+    for (auto& th : pool) th.join();
+}
 
 // Batched CT preprocessing: HU window to [0,1] + bilinear resize, one thread
 // pool over slices. in: (n, h, w) C-order float32 -> out: (n, oh, ow).

@@ -89,13 +89,24 @@ def gen_rsna_csv(label_csv, out_csv):
     (reference ``generate_RSNA_csv.py``)."""
     import pandas as pd
 
+    import pandas as pd
+
     df = pd.read_csv(label_csv)
     parts = df.ID.str.rsplit("_", n=1, expand=True)
     df["sop"], df["subtype"] = parts[0], parts[1]
-    piv = df.pivot_table(index="sop", columns="subtype", values="Label").reset_index()
+    # duplicate label rows exist in the stage-2 csv: aggregate by max, like
+    # the reference's groupby(...).max().unstack (generate_RSNA_csv.py:37)
+    piv = (
+        df.groupby(["sop", "subtype"])["Label"].max().unstack(level=-1).reset_index()
+    )
+    piv.columns.name = None
     piv["filename"] = piv.sop + ".dcm"
-    piv["Hemorrhage"] = piv.get("any", 0)
+    piv = piv.rename(columns={"any": "Hemorrhage"})
     piv["no_Hemorrhage"] = 1 - piv["Hemorrhage"]
+    # the reference intends to drop the corrupted ID_6431af929.dcm but its
+    # comparison includes a 'stage_2_train/' prefix the column never has
+    # (generate_RSNA_csv.py:44) — implement the intent
+    piv = piv[piv.filename != "ID_6431af929.dcm"]
     piv.to_csv(out_csv)
     click.echo(f"Wrote {len(piv)} slice rows to {out_csv}")
 
@@ -114,6 +125,44 @@ def dicom_to_nifti(series_dir, out_fn):
     vol, affine = series_to_volume(paths)
     nifti.save(out_fn, vol, affine)
     click.echo(f"Wrote {vol.shape} volume to {out_fn}")
+
+
+@cli.command("qure-extract")
+@click.option("--input-path", required=True, type=click.Path(exists=True),
+              help="CQ500 root: one DICOM-series subdir per patient id + "
+                   "ICH_probabilities.csv")
+@click.option("--out-folder", required=True, type=click.Path())
+def qure_extract(input_path, out_folder):
+    """Batch-convert the qureAI CQ500 layout to NIfTI volumes + info.csv
+    (reference ``qureAI_extract_as_nifti.py:24-64``: per-patient series dir →
+    ``<ID>.nii``; out rows {id, filename, n_slice} merged with
+    ``ICH_probabilities.csv`` on the patient id, outer join)."""
+    import pandas as pd
+
+    from ich_tpu.data import nifti
+    from ich_tpu.data.dicom import series_to_volume
+
+    os.makedirs(out_folder, exist_ok=True)
+    rows = []
+    for name in sorted(os.listdir(input_path)):
+        pdir = os.path.join(input_path, name)
+        if not os.path.isdir(pdir):
+            continue
+        paths = [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                 if f.lower().endswith(".dcm")]
+        if not paths:
+            continue
+        vol, affine = series_to_volume(paths)
+        nifti.save(os.path.join(out_folder, f"{name}.nii"), vol, affine)
+        rows.append({"id": int(name), "filename": f"{name}.nii",
+                     "n_slice": len(paths)})
+    fn_df = pd.DataFrame(rows)
+    prob_fn = os.path.join(input_path, "ICH_probabilities.csv")
+    if os.path.exists(prob_fn):
+        in_df = pd.read_csv(prob_fn, index_col=0)
+        fn_df = pd.merge(fn_df, in_df, left_on="id", right_index=True, how="outer")
+    fn_df.to_csv(os.path.join(out_folder, "info.csv"))
+    click.echo(f"Wrote {len(rows)} volumes + info.csv to {out_folder}")
 
 
 if __name__ == "__main__":

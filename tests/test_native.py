@@ -117,3 +117,30 @@ def test_window_resize_identity_size():
     got = native.window_resize_batch(slices, 50, 200, (16, 16))
     want = np.clip((slices - (50 - 100)) / 200.0, 0, 1)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_load_nifti_batch_threaded(tmp_path):
+    rng = np.random.default_rng(5)
+    vols, paths = [], []
+    for i in range(5):
+        vol = rng.uniform(-100, 200, size=(16, 16, 6 + i)).astype(np.float32)
+        fn = str(tmp_path / f"v{i}.nii.gz")
+        nifti.save(fn, vol, np.diag([1.0, 1.0, 2.5, 1.0]))
+        vols.append(vol)
+        paths.append(fn)
+    out = native.load_nifti_batch(paths, n_threads=4)
+    assert len(out) == 5
+    for (got, pixdim), want in zip(out, vols):
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        np.testing.assert_allclose(pixdim, [1.0, 1.0, 2.5], atol=1e-5)
+
+
+def test_load_nifti_batch_reports_bad_file(tmp_path):
+    vol = np.ones((4, 4, 2), np.float32)
+    good = str(tmp_path / "good.nii")
+    nifti.save(good, vol)
+    bad = str(tmp_path / "bad.nii")
+    with open(bad, "wb") as f:
+        f.write(b"not a nifti")
+    with pytest.raises(IOError):
+        native.load_nifti_batch([good, bad])
