@@ -1,19 +1,27 @@
 """Headline benchmark: CT volumes/sec/chip, Gaussian-blended sliding-window
-full-volume inference (the BASELINE.json north-star metric).
+full-volume inference (the BASELINE.json north-star metric), with achieved
+TFLOP/s and MFU, at two patch configurations:
+
+- 64^3 patches (round-1 headline, kept for cross-round comparability),
+- 128^3 patches (BASELINE.json config 2's patch shape).
 
 Workload: one preprocessed head CT (64 x 512 x 512 voxels ~ (2.5, 1, 1) mm
-spacing), HU windowing + 64^3 patches at 0.5 overlap through a depth-4
-top-16 3D U-Net (GroupNorm, bf16 conv compute), blended on device — no host
-round-trips.
+spacing), HU windowing + patches at 0.5 overlap through a depth-4 top-16 3D
+U-Net (GroupNorm, bf16 conv compute), blended on device — no host round
+trips. Small-channel convs run lane-packed (ich_tpu.ops.fastconv).
+
+MFU notes: FLOPs are the *algorithmic* count from XLA cost analysis of the
+UNPACKED program (the lane-packed convs execute ~2.4x more MACs to fill the
+MXU; counting those would flatter MFU). Peak is the chip's dense bf16 rate.
 
 vs_baseline: the reference implements this pipeline in PyTorch
 (slice-batching through the host; its repo publishes no numbers —
 BASELINE.md). The baseline constant below was measured on this machine with
-an architecture-identical torch (CPU) model and the same patch grid /
+an architecture-identical torch (CPU) model and the same 64^3 patch grid /
 blending loop (the reference's GPUs are not available here):
 225 patches, 183.7 s/volume = 0.00544 volumes/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -23,13 +31,27 @@ import numpy as np
 
 TORCH_CPU_BASELINE_VOLS_PER_S = 0.00544  # see module docstring
 
+# dense bf16 peak TFLOP/s by device kind (public spec sheets)
+PEAK_TFLOPS = [
+    ("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0), ("v5", 197.0),
+    ("v6", 918.0), ("v4", 275.0), ("v3", 123.0), ("v2", 45.0),
+]
+
+
+def peak_tflops(device_kind: str):
+    kind = device_kind.lower()
+    for key, val in PEAK_TFLOPS:
+        if key in kind:
+            return val
+    return None
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
     from ich_tpu.models import UNet
-    from ich_tpu.ops import ct
+    from ich_tpu.ops import ct, fastconv
     from ich_tpu.ops.sliding_window import sliding_window_inference
 
     net = UNet(
@@ -45,35 +67,112 @@ def main():
     rng = np.random.default_rng(0)
     vol_hu = jnp.asarray(rng.uniform(-100, 150, size=(d, h, w)).astype(np.float32))
 
-    def run(vol_hu):
-        vol = ct.window_ct(vol_hu, 50, 200)
-        out = sliding_window_inference(
-            apply_fn, variables, vol,
-            patch_size=(64, 64, 64), overlap=0.5, batch_size=64,
-        )
+    def make_run(patch, batch):
+        def run(vol_hu):
+            vol = ct.window_ct(vol_hu, 50, 200)
+            # NB compute_dtype=bf16 is NOT used: on v5e a bf16 C=1 volume
+            # makes the coset program's compile request 28.7G of HBM
+            # (pathological layout padding); the f32 volume compiles to
+            # <16G and the network casts its inputs to bf16 internally.
+            return sliding_window_inference(
+                apply_fn, variables, vol,
+                patch_size=(patch,) * 3, overlap=0.5, batch_size=batch,
+            )
+        return run
+
+    def sync(out):
         # On this image's tunneled TPU platform block_until_ready does NOT
         # synchronize; a (4-byte) scalar fetch is the only reliable barrier.
         return float(out[0, 0, 0, 0])
 
+    def algorithmic_flops(patch, batch):
+        """Network FLOPs per volume = XLA cost of one batched forward x the
+        number of network calls. Counted per-batch (not whole-program)
+        because cost_analysis tallies a `while` body once, which would
+        understate the scan path used for big patches; blending reshapes
+        are not FLOPs. Lane-packing is forced off so the count is the
+        algorithmic one, not the packed program's padded MACs."""
+        from ich_tpu.ops.sliding_window import patch_grid
+
+        fastconv.set_packing("off")
+        try:
+            comp = (
+                jax.jit(apply_fn)
+                .lower(variables, jnp.zeros((batch, patch, patch, patch, 1)))
+                .compile()
+            )
+            cost = comp.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            per_batch = float(cost["flops"])
+        except Exception:
+            return None
+        finally:
+            fastconv.set_packing("auto")
+        stride = patch // 2
+        n_patches = 1
+        for dim in (d, h, w):
+            n_patches *= len(patch_grid(max(dim, patch), patch, stride))
+        # exact patch count: the coset path runs exact-shape chunks, so no
+        # padding FLOPs execute (the scan path's pad-to-batch is <7% here)
+        return per_batch / batch * n_patches
+
+    def timed(run, n_iters=5):
+        """(latency, throughput) seconds/volume. Latency syncs per call;
+        throughput dispatches n_iters volumes and syncs once at the end
+        (device executions are in-order), amortizing the ~34 ms tunnel
+        fetch — the number a pipelined production server would see."""
+        sync(run(vol_hu))  # compile
+        sync(run(vol_hu))
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            sync(run(vol_hu))
+        lat = (time.perf_counter() - t0) / n_iters
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_iters):
+            out = run(vol_hu)
+        sync(out)
+        thr = (time.perf_counter() - t0) / n_iters
+        return lat, thr
+
     # tunnel + compile warmup (first fetch in a process is minutes on axon)
     float(jnp.ones(()).sum())
-    run(vol_hu)
-    run(vol_hu)
+    peak = peak_tflops(jax.devices()[0].device_kind)
 
-    n_iters = 5
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        run(vol_hu)
-    dt = (time.perf_counter() - t0) / n_iters
-    vols_per_s = 1.0 / dt
+    results = {}
+    for patch, batch in ((64, 64), (128, 8)):
+        run = make_run(patch, batch)
+        try:
+            lat, thr = timed(run)
+        except Exception as e:  # one config must not kill the headline
+            results[f"patch{patch}"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            continue
+        flops = algorithmic_flops(patch, batch)
+        entry = {
+            "volumes_per_s": round(1.0 / lat, 4),
+            "volumes_per_s_pipelined": round(1.0 / thr, 4),
+        }
+        if flops is not None:
+            tflops = flops / thr / 1e12
+            entry["tflops"] = round(tflops, 2)
+            if peak is not None:
+                entry["mfu_pct"] = round(100.0 * tflops / peak, 2)
+        results[f"patch{patch}"] = entry
 
+    v64 = results["patch64"]["volumes_per_s"]
     print(
         json.dumps(
             {
                 "metric": "ct_volumes_per_sec_per_chip_sliding_window",
-                "value": round(vols_per_s, 4),
+                "value": v64,
                 "unit": "volumes/s (64x512x512 CT, 64^3 patches, 0.5 overlap, 3D U-Net d4f16)",
-                "vs_baseline": round(vols_per_s / TORCH_CPU_BASELINE_VOLS_PER_S, 2),
+                "vs_baseline": round(v64 / TORCH_CPU_BASELINE_VOLS_PER_S, 2),
+                "extra": {
+                    "device": jax.devices()[0].device_kind,
+                    "peak_bf16_tflops": peak,
+                    "configs": results,
+                },
             }
         )
     )

@@ -13,7 +13,41 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ich_tpu.ops import fastconv
+
 Dtype = Any
+
+
+class PConv(nn.Module):
+    """Drop-in ``nn.Conv`` for SAME stride-1 odd-kernel convs that
+    dispatches to the lane-packed formulation (:mod:`ich_tpu.ops.fastconv`)
+    on TPU. Parameter names/shapes/init match ``nn.Conv`` exactly, so
+    checkpoints and ``transfer_weights`` are oblivious to the swap."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            tuple(self.kernel_size) + (c_in, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = fastconv.conv_same(x, kernel)
+        if bias is not None:
+            y = y + bias
+        return y
 
 
 def normalize_p_dropout(p_dropout: Union[float, Sequence[float]], depth: int) -> Tuple[float, ...]:
@@ -79,10 +113,10 @@ class ConvBlock(nn.Module):
 
     def _conv(self, x, ch, k, name):
         if self.gated:
-            out = nn.Conv(2 * ch, k, padding="SAME", dtype=self.dtype, name=name)(x)
+            out = PConv(2 * ch, k, dtype=self.dtype, name=name)(x)
             feat, gate = jnp.split(out, 2, axis=-1)
             return feat * jax.nn.sigmoid(gate)
-        return nn.Conv(ch, k, padding="SAME", dtype=self.dtype, name=name)(x)
+        return PConv(ch, k, dtype=self.dtype, name=name)(x)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

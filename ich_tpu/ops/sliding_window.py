@@ -19,7 +19,7 @@ Gaussian-weighted accumulation, normalization — is a single XLA program:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Sequence, Tuple
 
 import jax
@@ -27,12 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def gaussian_importance_map(
-    patch_size: Sequence[int], sigma_scale: float = 1.0 / 8.0, dtype=jnp.float32
-) -> jax.Array:
-    """Separable Gaussian weight map peaking at the patch center (the
-    standard nnU-Net-style blending kernel). Never exactly zero so the
-    normalization is safe everywhere."""
+def _gaussian_importance_np(
+    patch_size: Sequence[int], sigma_scale: float = 1.0 / 8.0
+) -> np.ndarray:
     ws = []
     for n in patch_size:
         c = (n - 1) / 2.0
@@ -44,8 +41,16 @@ def gaussian_importance_map(
     m = m / m.max()
     # floor far-corner weights: keeps the normalization well-conditioned in
     # f32 (a 3-axis gaussian corner underflows to ~1e-10 otherwise)
-    m = np.maximum(m, 1e-2)
-    return jnp.asarray(m, dtype=dtype)
+    return np.maximum(m, 1e-2)
+
+
+def gaussian_importance_map(
+    patch_size: Sequence[int], sigma_scale: float = 1.0 / 8.0, dtype=jnp.float32
+) -> jax.Array:
+    """Separable Gaussian weight map peaking at the patch center (the
+    standard nnU-Net-style blending kernel). Never exactly zero so the
+    normalization is safe everywhere."""
+    return jnp.asarray(_gaussian_importance_np(patch_size, sigma_scale), dtype=dtype)
 
 
 def patch_grid(dim: int, patch: int, step: int) -> np.ndarray:
@@ -129,6 +134,37 @@ def _sliding_window_jit(
     return acc / jnp.maximum(wacc, 1e-12)
 
 
+@lru_cache(maxsize=32)
+def _coset_weight_canvas(
+    dims: Tuple[int, int, int],
+    patch_size: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+) -> np.ndarray:
+    """Reciprocal of the summed Gaussian weight canvas for a regular coset
+    grid — data-independent, so computed once on the host at trace time
+    (the in-graph accumulation would cost a serialized read-modify-write
+    chain over the full volume per coset)."""
+    gmap = _gaussian_importance_np(patch_size).astype(np.float32)[..., None]
+    pd, ph, pw = patch_size
+    kd, kh, kw = (p // s for p, s in zip(patch_size, stride))
+    n = [(dims[i] - patch_size[i]) // stride[i] + 1 for i in range(3)]
+    wacc = np.zeros(tuple(dims) + (1,), np.float64)
+    for cd in range(min(kd, n[0])):
+        for ch_ in range(min(kh, n[1])):
+            for cw in range(min(kw, n[2])):
+                md = (n[0] - 1 - cd) // kd + 1 if cd < n[0] else 0
+                mh = (n[1] - 1 - ch_) // kh + 1 if ch_ < n[1] else 0
+                mw = (n[2] - 1 - cw) // kw + 1 if cw < n[2] else 0
+                if md == 0 or mh == 0 or mw == 0:
+                    continue
+                od, oh, ow = cd * stride[0], ch_ * stride[1], cw * stride[2]
+                tile = np.tile(
+                    gmap.reshape(1, pd, 1, ph, 1, pw, 1), (md, 1, mh, 1, mw, 1, 1)
+                ).reshape(md * pd, mh * ph, mw * pw, 1)
+                wacc[od : od + md * pd, oh : oh + mh * ph, ow : ow + mw * pw] += tile
+    return (1.0 / np.maximum(wacc, 1e-12)).astype(np.float32)
+
+
 @partial(jax.jit, static_argnames=("apply_fn", "patch_size", "stride", "batch_size"))
 def _sliding_window_coset_jit(
     variables,
@@ -162,7 +198,6 @@ def _sliding_window_coset_jit(
         return (n[axis] - 1 - ci) // (kd, kh, kw)[axis] + 1 if ci < n[axis] else 0
 
     acc = jnp.zeros(dims + (c_out,), jnp.float32)
-    wacc = jnp.zeros(dims + (1,), jnp.float32)
 
     for cd in range(min(kd, n[0])):
         for ch_ in range(min(kh, n[1])):
@@ -178,6 +213,13 @@ def _sliding_window_coset_jit(
                     (od, oh, ow, 0),
                     (od + md * pd, oh + mh * ph, ow + mw * pw, c),
                 )
+                # cosets/chunks are data-independent, so XLA is free to
+                # interleave their network calls — which multiplies peak
+                # activation liveness past HBM on big patches (measured:
+                # 28.7G requested for 128^3). The barrier threads a fake
+                # dependency on the running accumulator, forcing strictly
+                # sequential execution and buffer reuse.
+                view, _ = jax.lax.optimization_barrier((view, acc[0, 0, 0, 0]))
                 patches = view.reshape(md, pd, mh, ph, mw, pw, c)
                 patches = patches.transpose(0, 2, 4, 1, 3, 5, 6).reshape(
                     md * mh * mw, pd, ph, pw, c
@@ -187,11 +229,10 @@ def _sliding_window_coset_jit(
                 # static per coset, so at most a handful of compiled shapes
                 chunks = []
                 for i in range(0, m, batch_size):
-                    chunks.append(
-                        apply_fn(variables, patches[i : i + batch_size]).astype(
-                            jnp.float32
-                        )
-                    )
+                    pi = patches[i : i + batch_size]
+                    if chunks:
+                        pi, _ = jax.lax.optimization_barrier((pi, chunks[-1][0, 0, 0, 0, 0]))
+                    chunks.append(apply_fn(variables, pi).astype(jnp.float32))
                 preds = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
                 preds = preds * gmap[None]
                 block = preds.reshape(md, mh, mw, pd, ph, pw, c_out)
@@ -205,15 +246,8 @@ def _sliding_window_coset_jit(
                     ) + block,
                     (od, oh, ow, 0),
                 )
-                wfull = jnp.tile(
-                    gmap.reshape(1, pd, 1, ph, 1, pw, 1), (md, 1, mh, 1, mw, 1, 1)
-                ).reshape(md * pd, mh * ph, mw * pw, 1)
-                wacc = jax.lax.dynamic_update_slice(
-                    wacc,
-                    jax.lax.dynamic_slice(wacc, (od, oh, ow, 0), wfull.shape) + wfull,
-                    (od, oh, ow, 0),
-                )
-    return acc / jnp.maximum(wacc, 1e-12)
+    inv_w = jnp.asarray(_coset_weight_canvas(dims, patch_size, stride))
+    return acc * inv_w
 
 
 def sliding_window_inference(
@@ -223,6 +257,7 @@ def sliding_window_inference(
     patch_size: Sequence[int] = (128, 128, 128),
     overlap: float = 0.5,
     batch_size: int = 4,
+    compute_dtype=None,
 ) -> jax.Array:
     """Segment a (D, H, W[, C]) volume with Gaussian-blended overlapping
     patches. ``apply_fn(variables, batch)`` maps (B, pd, ph, pw, C) →
@@ -232,15 +267,28 @@ def sliding_window_inference(
     standard 0.5 overlap), dispatches to the coset-reshape fast path
     (:func:`_sliding_window_coset_jit`); otherwise the general
     scan-and-scatter path runs.
+
+    ``compute_dtype=jnp.bfloat16`` casts the volume before patch
+    extraction: a bf16-compute network casts its inputs anyway, so this
+    halves the extraction/reshape HBM traffic at no extra precision loss
+    (blending stays float32).
     """
     squeeze_c = volume.ndim == 3
     if squeeze_c:
         volume = volume[..., None]
+    if compute_dtype is not None:
+        volume = volume.astype(compute_dtype)
     d, h, w, c = volume.shape
     patch_size = tuple(int(p) for p in patch_size)
 
     strides = tuple(max(1, int(p * (1.0 - overlap))) for p in patch_size)
-    if all(p % s == 0 for p, s in zip(patch_size, strides)):
+    # The coset path inlines one network body per (coset, chunk) — fastest
+    # for small patches, but at big ones (128^3: each inlined body is a
+    # full-volume-scale U-Net) the XLA program size/liveness explodes and
+    # the compile itself runs for minutes before failing. Big patches go
+    # through the scan path, which compiles the network exactly once.
+    coset_ok = int(np.prod(patch_size)) <= 2 ** 20  # <= 101^3 voxels
+    if coset_ok and all(p % s == 0 for p, s in zip(patch_size, strides)):
         # pad so every axis satisfies (dim - patch) % stride == 0 and dim >= patch
         dims = (d, h, w)
         pads = []

@@ -109,3 +109,15 @@ def test_with_real_3d_unet():
     assert out.shape == (20, 24, 24, 1)
     o = np.asarray(out)
     assert np.isfinite(o).all() and (o >= 0).all() and (o <= 1).all()
+
+
+def test_compute_dtype_bf16_close_to_f32():
+    vol = np.random.default_rng(2).uniform(size=(8, 24, 24)).astype(np.float32)
+    apply_fn = lambda v, x: x.astype(jnp.float32) * 0.5
+    a = sliding_window_inference(apply_fn, {}, jnp.asarray(vol),
+                                 patch_size=(8, 16, 16), batch_size=2)
+    b = sliding_window_inference(apply_fn, {}, jnp.asarray(vol),
+                                 patch_size=(8, 16, 16), batch_size=2,
+                                 compute_dtype=jnp.bfloat16)
+    assert b.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
