@@ -1,0 +1,142 @@
+"""Training-step benchmark: ms/step, slices|patches/s, and MFU for the two
+flagship training workloads (BASELINE "epoch time" metric):
+
+- 2D supervised: batch 16 x 256^2, depth-5 top-32 U-Net, BatchNorm,
+  dropout 0.5, Dice loss, fused-affine augmentation (the reference's
+  ``UNet2D_config.json`` shape; docs/BENCHMARKS.md "Supervised train step").
+- 3D patch training (BASELINE config 2): 128^3 patches through the depth-4
+  top-16 3D U-Net with on-device 3D augmentation, plus the 64^3 shape for
+  comparison.
+
+Timing amortizes the ~34 ms axon tunnel fetch by dispatching N steps and
+fetching one scalar at the end (device executions are in-order). MFU =
+XLA cost-analysis FLOPs of the jitted step / time / dense-bf16 peak.
+
+Run (real TPU, exclusive):  python benchmarks/train_step_bench.py
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def time_steps(step, state, imgs, masks, key, n=20):
+    """Seconds/step, pipelined. `step` donates state, so thread it."""
+    import jax
+
+    st = state
+    st, loss = step(st, imgs, masks, key)
+    _ = float(loss)  # compile + sync
+    t0 = time.perf_counter()
+    for i in range(n):
+        st, loss = step(st, imgs, masks, jax.random.fold_in(key, i))
+    _ = float(loss)  # one fetch syncs the in-order queue
+    return (time.perf_counter() - t0) / n
+
+
+def step_flops(step, state, imgs, masks, key):
+    try:
+        cost = step.lower(state, imgs, masks, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def bench_2d(peak):
+    import jax
+    import jax.numpy as jnp
+
+    from ich_tpu.experiments.supervised2d import build_augment_fn
+    from ich_tpu.models.unet import UNet
+    from ich_tpu.train.segmentation2d import UNet2D
+
+    net = UNet(depth=5, ndim=2, top_filter=32, midchannels_factor=2,
+               p_dropout=0.5, norm="batch", dtype=jnp.bfloat16)
+    augment = build_augment_fn({
+        "Translate": {"low": -0.1, "high": 0.1},
+        "Rotate": {"low": -10, "high": 10},
+        "Scale": {"low": 0.9, "high": 1.1},
+        "HFlip": {},
+    })
+    tr = UNet2D(net, n_epoch=1, batch_size=16, lr=1e-3, loss_fn="BinaryDiceLoss",
+                loss_fn_kwargs={"reduction": "mean"}, augment_fn=augment)
+    tr._ensure_state((256, 256), steps_per_epoch=100)
+    step = tr._make_train_step()
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(16, 256, 256)).astype(np.float32))
+    masks = jnp.asarray((rng.uniform(size=(16, 256, 256)) > 0.98).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    flops = step_flops(step, tr.state, imgs, masks, key)
+    dt = time_steps(step, tr.state, imgs, masks, key)
+    entry = {"ms_per_step": round(dt * 1e3, 2),
+             "slices_per_s": round(16 / dt, 1)}
+    if flops is not None:
+        entry["tflops"] = round(flops / dt / 1e12, 2)
+        if peak:
+            entry["mfu_pct"] = round(100 * flops / dt / 1e12 / peak, 2)
+    return entry
+
+
+def bench_3d(peak, patch, batch):
+    import jax
+    import jax.numpy as jnp
+
+    from ich_tpu.models.unet import UNet
+    from ich_tpu.ops.transforms3d import default_patch_augmentation
+    from ich_tpu.train.segmentation3d import UNet3D
+
+    net = UNet(depth=4, ndim=3, top_filter=16, midchannels_factor=1,
+               p_dropout=0.0, norm="group", dtype=jnp.bfloat16)
+    tr = UNet3D(net, patch_size=(patch,) * 3, n_epoch=1, batch_size=batch,
+                lr=1e-3, loss_fn="BinaryDiceLoss",
+                loss_fn_kwargs={"reduction": "mean"},
+                augment_fn=default_patch_augmentation())
+    tr._ensure_state((patch, patch, patch), steps_per_epoch=100)
+    step = tr._make_train_step()
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(batch,) + (patch,) * 3).astype(np.float32))
+    masks = jnp.asarray(
+        (rng.uniform(size=(batch,) + (patch,) * 3) > 0.995).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    flops = step_flops(step, tr.state, imgs, masks, key)
+    dt = time_steps(step, tr.state, imgs, masks, key, n=10)
+    entry = {"ms_per_step": round(dt * 1e3, 2),
+             "patches_per_s": round(batch / dt, 2),
+             "voxels_per_s_M": round(batch * patch ** 3 / dt / 1e6, 1)}
+    if flops is not None:
+        entry["tflops"] = round(flops / dt / 1e12, 2)
+        if peak:
+            entry["mfu_pct"] = round(100 * flops / dt / 1e12 / peak, 2)
+    return entry
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-3d", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import peak_tflops  # repo-root bench.py helper
+
+    float(jnp.ones(()).sum())  # tunnel warmup
+    peak = peak_tflops(jax.devices()[0].device_kind)
+    out = {"device": jax.devices()[0].device_kind, "peak_bf16_tflops": peak}
+    out["train2d_bs16_256"] = bench_2d(peak)
+    if not args.skip_3d:
+        out["train3d_bs8_64"] = bench_3d(peak, 64, 8)
+        out["train3d_bs2_128"] = bench_3d(peak, 128, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

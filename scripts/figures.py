@@ -44,6 +44,67 @@ def dataset_stats(data_dir, out_fn):
     click.echo(f"Wrote {out_fn}")
 
 
+@cli.command("rsna-stats")
+@click.option("--csv-path", required=True, type=click.Path(exists=True),
+              help="slice_info.csv from the gen-rsna-csv CLI")
+@click.option("--out-fn", default="rsna_data_stats.pdf", type=click.Path())
+def rsna_stats(csv_path, out_fn):
+    """RSNA class-repartition figure (reference
+    ``figure_scripts/RSNA_data_exploration.py:50-94``): ICH vs no-ICH slice
+    bar, linked by a curved flow band to an inset of per-subtype counts."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.ticker import FuncFormatter
+    import pandas as pd
+
+    from ich_tpu.postprocessing.plots import draw_curved_rect
+
+    def human(num, pos=None):
+        mag = 0
+        while abs(num) >= 1000:
+            mag += 1
+            num /= 1000.0
+        return "%.0f%s" % (num, ["", "K", "M", "G"][mag])
+
+    df = pd.read_csv(csv_path, index_col=0)
+    subtypes = ["intraventricular", "intraparenchymal", "subarachnoid",
+                "epidural", "subdural"]
+    subtypes = [s for s in subtypes if s in df.columns]
+    n_pos = int(df.Hemorrhage.sum())
+    n_neg = int(len(df) - n_pos)
+
+    fig, ax = plt.subplots(1, 1, figsize=(9, 4))
+    ax.bar([0.5, 1.5], [n_neg, n_pos], tick_label=["No ICH", "ICH"],
+           width=0.8, color="orange", edgecolor="black", linewidth=1)
+    ax.set_title("ICH by CT Slice", fontweight="bold", loc="left")
+    ax.set_ylabel("Number of CT Slices")
+    ax.yaxis.set_major_formatter(FuncFormatter(human))
+    ax.set_xlim(0, 6)
+    for side in ("top", "right"):
+        ax.spines[side].set_visible(False)
+
+    # flow band from the ICH bar into the subtype inset
+    top = ax.get_ylim()[1]
+    draw_curved_rect(1.9, 4.0, 0.0, n_pos, 0.0, top, ax=ax,
+                     color="lightgray", alpha=0.5)
+    ax_in = ax.inset_axes([4, 0, 2, top], transform=ax.transData)
+    if subtypes:
+        counts = df[subtypes].sum(axis=0).values
+        ax_in.bar(range(len(subtypes)), counts, tick_label=subtypes,
+                  width=0.8, color="orange", edgecolor="black", linewidth=1)
+        ax_in.set_xticklabels(subtypes, rotation=25, ha="right", fontsize=8)
+    ax_in.set_title("Slices by ICH Type", fontweight="bold", loc="left",
+                    fontsize=10)
+    ax_in.yaxis.set_ticks_position("right")
+    ax_in.yaxis.set_major_formatter(FuncFormatter(human))
+    ax_in.patch.set_facecolor("lightgray")
+    ax_in.patch.set_alpha(0.5)
+    fig.savefig(out_fn, dpi=300, bbox_inches="tight")
+    click.echo(f"Wrote {out_fn}")
+
+
 def _mip_three_view(vol, mask, spacing, out_fn):
     """Axial / coronal / sagittal maximum-intensity projections with a red
     rendered-mask overlay — the matplotlib replacement for the reference's

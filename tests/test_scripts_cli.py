@@ -152,3 +152,24 @@ def test_figures_cli(nifti_dataset, tmp_path):
     )
     assert r.exit_code == 0, r.output
     assert os.path.getsize(mip) > 2000
+
+
+def test_figures_rsna_stats(tmp_path):
+    import pandas as pd
+
+    import figures
+
+    rng = np.random.default_rng(0)
+    n = 40
+    df = pd.DataFrame({
+        "filename": [f"ID_{i}.dcm" for i in range(n)],
+        "Hemorrhage": rng.integers(0, 2, n),
+        "intraventricular": rng.integers(0, 2, n),
+        "subdural": rng.integers(0, 2, n),
+    })
+    csv = str(tmp_path / "slice_info.csv")
+    df.to_csv(csv)
+    out = str(tmp_path / "rsna_stats.pdf")
+    r = CliRunner().invoke(figures.cli, ["rsna-stats", "--csv-path", csv, "--out-fn", out])
+    assert r.exit_code == 0, r.output
+    assert os.path.getsize(out) > 2000
