@@ -8,10 +8,11 @@ TFLOP/s and MFU, at two patch configurations:
 Workload: one preprocessed head CT (64 x 512 x 512 voxels ~ (2.5, 1, 1) mm
 spacing), HU windowing + patches at 0.5 overlap through a depth-4 top-16 3D
 U-Net (GroupNorm, bf16 conv compute), blended on device — no host round
-trips. Small-channel convs run lane-packed (ich_tpu.ops.fastconv).
+trips. (The lane-packed conv of ich_tpu.ops.fastconv defaults OFF: its
+isolated-conv wins do not survive XLA fusion in-net — docs/BENCHMARKS.md.)
 
 MFU notes: FLOPs are the *algorithmic* count from XLA cost analysis of the
-UNPACKED program (the lane-packed convs execute ~2.4x more MACs to fill the
+unpacked program (packed convs would execute ~2.4x more MACs to fill the
 MXU; counting those would flatter MFU). Peak is the chip's dense bf16 rate.
 
 vs_baseline: the reference implements this pipeline in PyTorch
@@ -31,20 +32,6 @@ import numpy as np
 
 TORCH_CPU_BASELINE_VOLS_PER_S = 0.00544  # see module docstring
 
-# dense bf16 peak TFLOP/s by device kind (public spec sheets)
-PEAK_TFLOPS = [
-    ("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0), ("v5", 197.0),
-    ("v6", 918.0), ("v4", 275.0), ("v3", 123.0), ("v2", 45.0),
-]
-
-
-def peak_tflops(device_kind: str):
-    kind = device_kind.lower()
-    for key, val in PEAK_TFLOPS:
-        if key in kind:
-            return val
-    return None
-
 
 def main():
     import jax
@@ -53,6 +40,7 @@ def main():
     from ich_tpu.models import UNet
     from ich_tpu.ops import ct, fastconv
     from ich_tpu.ops.sliding_window import sliding_window_inference
+    from ich_tpu.utils.profiling import compiled_flops, peak_tflops
 
     net = UNet(
         depth=4, ndim=3, top_filter=16, p_dropout=0.0,
@@ -94,21 +82,18 @@ def main():
         algorithmic one, not the packed program's padded MACs."""
         from ich_tpu.ops.sliding_window import patch_grid
 
+        prev_mode = fastconv._MODE
         fastconv.set_packing("off")
         try:
-            comp = (
-                jax.jit(apply_fn)
-                .lower(variables, jnp.zeros((batch, patch, patch, patch, 1)))
-                .compile()
+            per_batch = compiled_flops(
+                jax.jit(apply_fn),
+                variables,
+                jnp.zeros((batch, patch, patch, patch, 1)),
             )
-            cost = comp.cost_analysis()
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            per_batch = float(cost["flops"])
-        except Exception:
-            return None
         finally:
-            fastconv.set_packing("auto")
+            fastconv.set_packing(prev_mode)
+        if per_batch is None:
+            return None
         stride = patch // 2
         n_patches = 1
         for dim in (d, h, w):
@@ -160,7 +145,14 @@ def main():
                 entry["mfu_pct"] = round(100.0 * tflops / peak, 2)
         results[f"patch{patch}"] = entry
 
-    v64 = results["patch64"]["volumes_per_s"]
+    # headline = 64^3; if that config errored, fall back to any measured one
+    # so the error string still ships in the JSON instead of a crash
+    v64 = results["patch64"].get("volumes_per_s")
+    if v64 is None:
+        v64 = next(
+            (r["volumes_per_s"] for r in results.values() if "volumes_per_s" in r),
+            0.0,
+        )
     print(
         json.dumps(
             {

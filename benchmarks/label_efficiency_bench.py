@@ -96,7 +96,11 @@ def collect_dice(exp_dir, n_folds=N_FOLDS):
     return np.asarray(vals)
 
 
-def main(out_root):
+def main(out_root, seed=42):
+    """One full two-arm sweep at training seed ``seed``. Fold splits stay
+    fixed (both arms and all seeds see identical splits, so per-(fold,seed)
+    Dice deltas are paired); the seed varies init/shuffle/augmentation —
+    run several seeds and pool with --report-only over the parent dir."""
     from ich_tpu.experiments.pretrain_finetune import (
         label_efficiency_sweep,
         pretrain_context_restoration,
@@ -107,6 +111,7 @@ def main(out_root):
     by_fold = folds_fn(labeled)
 
     pre_cfg = base_cfg(out_root, "cr_pretrain")
+    pre_cfg["seed"] = seed
     pre_cfg["train"] = {**pre_cfg["train"], "n_epoch": 30, "batch_size": 32}
     pre_cfg["corruption"] = {"n_swap": 10, "swap_w": (6, 14), "swap_h": (6, 14),
                              "rotate": True}
@@ -115,7 +120,9 @@ def main(out_root):
     results = {}
     for arm, init in (("scratch", None), ("pretrained", weights)):
         cfg = base_cfg(out_root, arm)
-        dirs = label_efficiency_sweep(cfg, init, by_fold, fractions=FRACTIONS)
+        cfg["seed"] = seed
+        dirs = label_efficiency_sweep(cfg, init, by_fold, fractions=FRACTIONS,
+                                      seed=seed)
         results[arm] = {
             str(frac): collect_dice(d).tolist() for frac, d in dirs.items()
         }
@@ -125,10 +132,32 @@ def main(out_root):
     report(results, out_root)
 
 
+def pooled_report(parent_dir, out_root=None):
+    """Pool per-(fold, seed) results from every ``results.json`` found under
+    ``parent_dir`` (one subdir per seed) into a single paired table."""
+    import glob
+
+    pooled = {"scratch": {}, "pretrained": {}}
+    files = sorted(glob.glob(os.path.join(parent_dir, "*", "results.json")))
+    if not files:
+        files = [os.path.join(parent_dir, "results.json")]
+    for fn in files:
+        with open(fn) as f:
+            res = json.load(f)
+        for arm in pooled:
+            for frac, vals in res[arm].items():
+                pooled[arm].setdefault(frac, []).extend(vals)
+    print(f"pooled {len(files)} runs")
+    report(pooled, out_root or parent_dir)
+    return pooled
+
+
 def report(results, out_root):
     lines = ["| labels | scratch (±1.96σ) | CR-pretrained (±1.96σ) | paired Δ [95% CI] |",
              "|---|---|---|---|"]
     for frac in FRACTIONS:
+        if str(frac) not in results["scratch"]:
+            continue
         s = np.asarray(results["scratch"][str(frac)])
         p = np.asarray(results["pretrained"][str(frac)])
         d = p - s
@@ -150,11 +179,12 @@ def report(results, out_root):
 
         from ich_tpu.postprocessing.plots import curve_std
 
+        fracs = [f for f in FRACTIONS if str(f) in results["scratch"]]
         fig, ax = plt.subplots(figsize=(5, 4))
-        xs = np.asarray(FRACTIONS) * 100
+        xs = np.asarray(fracs) * 100
         series = []
         for arm in ("scratch", "pretrained"):
-            cols = np.stack([np.asarray(results[arm][str(f)]) for f in FRACTIONS])
+            cols = np.stack([np.asarray(results[arm][str(f)]) for f in fracs])
             series.append(np.concatenate([xs[:, None], cols], axis=1))
         curve_std(series, ["scratch", "CR-pretrained"], ax=ax)
         ax.set_xlabel("% of labeled patients")
@@ -168,11 +198,12 @@ def report(results, out_root):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/le_bench")
+    ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--report-only", action="store_true",
-                    help="re-render table/figure from an existing results.json")
+                    help="re-render table/figure from existing results.json "
+                         "(pools every */results.json under --out)")
     args = ap.parse_args()
     if args.report_only:
-        with open(os.path.join(args.out, "results.json")) as f:
-            report(json.load(f), args.out)
+        pooled_report(args.out)
     else:
-        main(args.out)
+        main(args.out, seed=args.seed)

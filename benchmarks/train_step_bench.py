@@ -41,13 +41,9 @@ def time_steps(step, state, imgs, masks, key, n=20):
 
 
 def step_flops(step, state, imgs, masks, key):
-    try:
-        cost = step.lower(state, imgs, masks, key).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost["flops"])
-    except Exception:
-        return None
+    from ich_tpu.utils.profiling import compiled_flops
+
+    return compiled_flops(step, state, imgs, masks, key)
 
 
 def bench_2d(peak):
@@ -126,7 +122,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bench import peak_tflops  # repo-root bench.py helper
+    from ich_tpu.utils.profiling import peak_tflops
 
     float(jnp.ones(()).sum())  # tunnel warmup
     peak = peak_tflops(jax.devices()[0].device_kind)

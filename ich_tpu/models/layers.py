@@ -19,10 +19,12 @@ Dtype = Any
 
 
 class PConv(nn.Module):
-    """Drop-in ``nn.Conv`` for SAME stride-1 odd-kernel convs that
-    dispatches to the lane-packed formulation (:mod:`ich_tpu.ops.fastconv`)
-    on TPU. Parameter names/shapes/init match ``nn.Conv`` exactly, so
-    checkpoints and ``transfer_weights`` are oblivious to the swap."""
+    """Drop-in ``nn.Conv`` for SAME stride-1 odd-kernel convs that can
+    dispatch to the lane-packed formulation (:mod:`ich_tpu.ops.fastconv`)
+    when packing is enabled via ``fastconv.set_packing("on")`` (default is
+    the direct conv — packing loses in-net to broken fusion; see
+    docs/BENCHMARKS.md). Parameter names/shapes/init match ``nn.Conv``
+    exactly, so checkpoints and ``transfer_weights`` are oblivious."""
 
     features: int
     kernel_size: Tuple[int, ...]

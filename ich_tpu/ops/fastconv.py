@@ -33,9 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Packing mode: "auto" packs only where the backend is TPU and the shape
-# qualifies; "on" forces packing wherever the shape qualifies (tests use
-# this to exercise the path on CPU); "off" disables it.
+# Packing mode: "auto" (default) currently resolves to OFF — see
+# packing_active() for the measured rationale; "on" forces packing wherever
+# the shape qualifies (tests + experimentation); "off" disables it.
 _MODE = "auto"
 
 

@@ -134,7 +134,9 @@ def _sliding_window_jit(
     return acc / jnp.maximum(wacc, 1e-12)
 
 
-@lru_cache(maxsize=32)
+@lru_cache(maxsize=2)  # entries are full-volume f32 canvases (~67 MB each);
+# the jit cache already holds one trace per shape, so hits beyond the
+# current shape are rare — keep at most the active shape + one
 def _coset_weight_canvas(
     dims: Tuple[int, int, int],
     patch_size: Tuple[int, int, int],

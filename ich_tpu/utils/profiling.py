@@ -36,6 +36,35 @@ def sync(x) -> float:
     return float(jnp.ravel(leaf)[0])
 
 
+# dense bf16 peak TFLOP/s by device kind (public spec sheets)
+PEAK_TFLOPS = [
+    ("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0), ("v5", 197.0),
+    ("v6", 918.0), ("v4", 275.0), ("v3", 123.0), ("v2", 45.0),
+]
+
+
+def peak_tflops(device_kind: str) -> Optional[float]:
+    """Dense-bf16 peak for an MFU denominator, or None if unknown."""
+    kind = device_kind.lower()
+    for key, val in PEAK_TFLOPS:
+        if key in kind:
+            return val
+    return None
+
+
+def compiled_flops(jitted, *args, **kwargs) -> Optional[float]:
+    """XLA cost-analysis FLOPs of ``jitted(*args, **kwargs)``, or None if
+    the backend provides no cost model. One place for the list-vs-dict
+    return quirk so every benchmark counts FLOPs the same way."""
+    try:
+        cost = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
 class StepTimer:
     """Per-step wall-time statistics with warmup exclusion."""
 
