@@ -40,10 +40,10 @@ def time_steps(step, state, imgs, masks, key, n=20):
     return (time.perf_counter() - t0) / n
 
 
-def step_flops(step, state, imgs, masks, key):
+def step_flops(step, *args):
     from ich_tpu.utils.profiling import compiled_flops
 
-    return compiled_flops(step, state, imgs, masks, key)
+    return compiled_flops(step, *args)
 
 
 def bench_2d(peak):
@@ -114,9 +114,85 @@ def bench_3d(peak, patch, batch):
     return entry
 
 
+def bench_sampler(patch, batch):
+    """Host sample_patches vs the HBM-resident DevicePatchSampler, per
+    batch (the host path moves ~2*B*patch^3*4 bytes through numpy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ich_tpu.data.core import VolumeDataset3D
+    from ich_tpu.data.patch_sampler import DevicePatchSampler
+    from ich_tpu.train.segmentation3d import sample_patches
+
+    rng = np.random.default_rng(0)
+    vols = [rng.uniform(size=(64, 256, 256)).astype(np.float32) for _ in range(4)]
+    msks = [(rng.uniform(size=(64, 256, 256)) > 0.999).astype(np.float32)
+            for _ in range(4)]
+    ds = VolumeDataset3D(vols, msks, np.arange(4))
+
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        imgs, m = sample_patches(rng, ds, batch, (patch,) * 3, 0.5)
+        _ = float(jnp.asarray(imgs)[0, 0, 0, 0])  # include the device upload
+    host_ms = (time.perf_counter() - t0) / n * 1e3
+
+    samp = DevicePatchSampler(ds, (patch,) * 3, 0.5)
+    key = jax.random.PRNGKey(0)
+    imgs, m = samp(key, batch)
+    _ = float(imgs[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    for i in range(n):
+        imgs, m = samp(jax.random.fold_in(key, i), batch)
+    _ = float(imgs[0, 0, 0, 0])
+    dev_ms = (time.perf_counter() - t0) / n * 1e3
+    return {"host_ms_per_batch": round(host_ms, 2),
+            "device_ms_per_batch": round(dev_ms, 2),
+            "speedup": round(host_ms / max(dev_ms, 1e-9), 1)}
+
+
+def bench_gan(peak):
+    """SN-PatchGAN combined G+D hinge step at the reference's shapes
+    (256^2, batch 32, gated generator w/ contextual attention, SN patch
+    discriminator — ``SNPatchGAN_config.json``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ich_tpu.models.inpainting import GatedGenerator, PatchDiscriminator
+    from ich_tpu.train.gan import SNPatchGAN
+
+    g = GatedGenerator(dtype=jnp.bfloat16)
+    d = PatchDiscriminator(dtype=jnp.bfloat16)
+    tr = SNPatchGAN(g, d, n_epoch=1, batch_size=32, lr_g=1e-3, lr_d=1e-3)
+    tr._ensure_state((256, 256), steps_per_epoch=100)
+    step = tr._make_train_step()
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(32, 256, 256)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    flops = step_flops(step, tr.state, imgs, key)
+
+    st = tr.state
+    st, losses = step(st, imgs, key)
+    _ = float(losses[0])
+    t0 = time.perf_counter()
+    n = 10
+    for i in range(n):
+        st, losses = step(st, imgs, jax.random.fold_in(key, i))
+    _ = float(losses[0])
+    dt = (time.perf_counter() - t0) / n
+    entry = {"ms_per_step": round(dt * 1e3, 2),
+             "images_per_s": round(32 / dt, 1)}
+    if flops is not None:
+        entry["tflops"] = round(flops / dt / 1e12, 2)
+        if peak:
+            entry["mfu_pct"] = round(100 * flops / dt / 1e12 / peak, 2)
+    return entry
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-3d", action="store_true")
+    ap.add_argument("--skip-gan", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -127,10 +203,19 @@ def main():
     float(jnp.ones(()).sum())  # tunnel warmup
     peak = peak_tflops(jax.devices()[0].device_kind)
     out = {"device": jax.devices()[0].device_kind, "peak_bf16_tflops": peak}
-    out["train2d_bs16_256"] = bench_2d(peak)
+    jobs = [("train2d_bs16_256", lambda: bench_2d(peak))]
     if not args.skip_3d:
-        out["train3d_bs8_64"] = bench_3d(peak, 64, 8)
-        out["train3d_bs2_128"] = bench_3d(peak, 128, 2)
+        jobs += [("train3d_bs8_64", lambda: bench_3d(peak, 64, 8)),
+                 ("train3d_bs2_128", lambda: bench_3d(peak, 128, 2)),
+                 ("sampler3d_bs2_128", lambda: bench_sampler(128, 2))]
+    if not args.skip_gan:
+        jobs.append(("gan_bs32_256", lambda: bench_gan(peak)))
+    for name, fn in jobs:
+        try:
+            out[name] = fn()
+        except Exception as e:  # one workload must not lose the others
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print(name, json.dumps(out[name]), flush=True)  # incremental
     print(json.dumps(out))
 
 

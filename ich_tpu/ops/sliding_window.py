@@ -199,6 +199,15 @@ def _sliding_window_coset_jit(
         # patches of coset ci along an axis: indices ci, ci+k, ci+2k, ...
         return (n[axis] - 1 - ci) // (kd, kh, kw)[axis] + 1 if ci < n[axis] else 0
 
+    # The barriers below serialize coset/chunk network calls. They are NOT
+    # optional: before round 2 the in-graph weight accumulator incidentally
+    # chained the cosets; with the weight canvas precomputed on the host the
+    # cosets are fully independent, and an unbarriered program lets XLA
+    # interleave every network body — measured: the 64^3 batch-64 compile
+    # itself runs >25 min (liveness explosion) where the barriered program
+    # compiles in seconds and runs at 4.28 vol/s.
+    serialize = True
+
     acc = jnp.zeros(dims + (c_out,), jnp.float32)
 
     for cd in range(min(kd, n[0])):
@@ -221,7 +230,8 @@ def _sliding_window_coset_jit(
                 # 28.7G requested for 128^3). The barrier threads a fake
                 # dependency on the running accumulator, forcing strictly
                 # sequential execution and buffer reuse.
-                view, _ = jax.lax.optimization_barrier((view, acc[0, 0, 0, 0]))
+                if serialize:
+                    view, _ = jax.lax.optimization_barrier((view, acc[0, 0, 0, 0]))
                 patches = view.reshape(md, pd, mh, ph, mw, pw, c)
                 patches = patches.transpose(0, 2, 4, 1, 3, 5, 6).reshape(
                     md * mh * mw, pd, ph, pw, c
@@ -232,7 +242,7 @@ def _sliding_window_coset_jit(
                 chunks = []
                 for i in range(0, m, batch_size):
                     pi = patches[i : i + batch_size]
-                    if chunks:
+                    if serialize and chunks:
                         pi, _ = jax.lax.optimization_barrier((pi, chunks[-1][0, 0, 0, 0, 0]))
                     chunks.append(apply_fn(variables, pi).astype(jnp.float32))
                 preds = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)

@@ -264,6 +264,13 @@ class GaussianBlur(Transform):
     def __init__(self, p: float = 0.5, sigma: Tuple[float, float] = (0.1, 2.0)):
         self.p = p
         self.sigma = tuple(sigma)
+        # One static radius sized for the max sigma (skimage truncates at
+        # 4*sigma per draw; per-sample radii would be dynamic shapes). A
+        # sigma=0.1 draw thus convolves with a radius-8 kernel whose tails
+        # are ~0 — numerically identical, and the fixed shape is what lets
+        # the whole batch blur as two batched matmuls. At the default
+        # sigma range this is 17 taps x 2 passes on a 256^2 batch: well
+        # under 1 ms inside the fused augmentation step (BENCHMARKS.md).
         self.radius = max(1, int(math.ceil(4.0 * self.sigma[1])))
 
     def _kernels(self, key, batch):

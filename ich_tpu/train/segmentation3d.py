@@ -110,6 +110,7 @@ class UNet3D(UNet2D):
         pos_frac: float = 0.5,
         sw_overlap: float = 0.5,
         sw_batch_size: int = 4,
+        on_device_sampling="auto",
         **kwargs,
     ):
         super().__init__(unet, **kwargs)
@@ -118,6 +119,9 @@ class UNet3D(UNet2D):
         self.pos_frac = pos_frac
         self.sw_overlap = sw_overlap
         self.sw_batch_size = sw_batch_size
+        # "auto": HBM-resident jitted patch sampling when the padded volume
+        # stack fits a conservative budget; True/False force it on/off
+        self.on_device_sampling = on_device_sampling
         self.outputs["eval"]["iou"] = {"all": None, "positive": None}
 
     def _example_input(self, image_shape):
@@ -146,17 +150,39 @@ class UNet3D(UNet2D):
         host_rng = np.random.default_rng(self.seed + n_epoch_finished)
         start_time = time.time()
 
+        sampler = None
+        if self.on_device_sampling is not False:
+            from ich_tpu.data.patch_sampler import DevicePatchSampler
+
+            try:
+                cand = DevicePatchSampler(
+                    dataset, self.patch_size, self.pos_frac
+                )
+                budget = 4 << 30
+                if self.on_device_sampling is True or cand.hbm_bytes <= budget:
+                    sampler = cand
+                    logger.info(
+                        "On-device patch sampling: %.1f MB HBM-resident.",
+                        cand.hbm_bytes / 2**20,
+                    )
+            except Exception as e:  # fall back to the host sampler
+                logger.warning("Device sampler unavailable (%s); host path.", e)
+
         for epoch in range(n_epoch_finished, self.n_epoch):
             # device scalars, fetched once per epoch (keeps dispatch async)
             losses, epoch_start = [], time.time()
             for b in range(self.steps_per_epoch_cfg):
-                imgs, msks = sample_patches(
-                    host_rng, dataset, self.batch_size, self.patch_size, self.pos_frac
-                )
                 key = jax.random.fold_in(root_key, epoch * 100003 + b)
-                self.state, loss = train_step(
-                    self.state, jnp.asarray(imgs), jnp.asarray(msks), key
-                )
+                if sampler is not None:
+                    ks, key = jax.random.split(key)
+                    imgs, msks = sampler(ks, self.batch_size)
+                else:
+                    np_imgs, np_msks = sample_patches(
+                        host_rng, dataset, self.batch_size, self.patch_size,
+                        self.pos_frac,
+                    )
+                    imgs, msks = jnp.asarray(np_imgs), jnp.asarray(np_msks)
+                self.state, loss = train_step(self.state, imgs, msks, key)
                 losses.append(loss)
             mean_loss = float(jnp.stack(losses).mean()) if losses else 0.0
 
