@@ -24,6 +24,7 @@ from ich_tpu.train.loop import fit
 from ich_tpu.train.ssl import _SSLBase
 from ich_tpu.train.state import TrainState
 from ich_tpu.utils.config import TRAINERS
+from ich_tpu.utils import rng as rng_utils
 
 logger = logging.getLogger(__name__)
 
@@ -50,7 +51,7 @@ class AE(_SSLBase):
                 if has_bn:
                     variables["batch_stats"] = state.batch_stats
                 out = net.apply(
-                    variables, images, train=True, rngs={"dropout": key},
+                    variables, images, train=True, rngs={"dropout": rng_utils.dropout_key(key)},
                     mutable=["batch_stats"] if has_bn else [],
                 )
                 rec, mut = out

@@ -35,6 +35,7 @@ from ich_tpu.train.loop import fit
 from ich_tpu.train.ssl import _SSLBase
 from ich_tpu.train.state import TrainState
 from ich_tpu.utils.config import TRAINERS
+from ich_tpu.utils import rng as rng_utils
 
 logger = logging.getLogger(__name__)
 
@@ -71,7 +72,7 @@ class _ClassifierBase(_SSLBase):
                 if has_bn:
                     variables["batch_stats"] = state.batch_stats
                 out = net.apply(
-                    variables, images, train=True, rngs={"dropout": dk},
+                    variables, images, train=True, rngs={"dropout": rng_utils.dropout_key(dk)},
                     mutable=["batch_stats"] if has_bn else [],
                 )
                 logits, mut = out

@@ -38,6 +38,7 @@ from ich_tpu.ops.metrics import batch_binary_confusion_matrix
 from ich_tpu.train import checkpoint as ckpt
 from ich_tpu.train.state import TrainState, create_train_state, make_optimizer, make_schedule
 from ich_tpu.utils.config import LOSSES, TRAINERS
+from ich_tpu.utils import rng as rng_utils
 from ich_tpu.utils.logging import print_progressbar, save_json
 
 logger = logging.getLogger(__name__)
@@ -166,7 +167,7 @@ class UNet2D:
                     variables,
                     images,
                     train=True,
-                    rngs={"dropout": drop_key},
+                    rngs={"dropout": rng_utils.dropout_key(drop_key)},
                     mutable=["batch_stats"] if has_bn else [],
                 )
                 pred, mutated = out

@@ -39,6 +39,7 @@ from ich_tpu.train.loop import fit
 from ich_tpu.train.state import TrainState, create_train_state, make_optimizer, make_schedule
 from ich_tpu.utils.config import TRAINERS
 from ich_tpu.utils.logging import save_json
+from ich_tpu.utils import rng as rng_utils
 
 logger = logging.getLogger(__name__)
 
@@ -279,7 +280,7 @@ class ContextRestoration(_SSLBase):
                 if has_bn:
                     variables["batch_stats"] = state.batch_stats
                 out = net.apply(
-                    variables, corrupted, train=True, rngs={"dropout": dk},
+                    variables, corrupted, train=True, rngs={"dropout": rng_utils.dropout_key(dk)},
                     mutable=["batch_stats"] if has_bn else [],
                 )
                 recon, mut = out
@@ -369,10 +370,10 @@ class Contrastive(_SSLBase):
                 if has_bn:
                     variables["batch_stats"] = state.batch_stats
                 mut_arg = ["batch_stats"] if has_bn else []
-                o1, m1 = net.apply(variables, v1, train=True, rngs={"dropout": kd1}, mutable=mut_arg)
+                o1, m1 = net.apply(variables, v1, train=True, rngs={"dropout": rng_utils.dropout_key(kd1)}, mutable=mut_arg)
                 if has_bn:
                     variables = {"params": params, "batch_stats": m1["batch_stats"]}
-                o2, m2 = net.apply(variables, v2, train=True, rngs={"dropout": kd2}, mutable=mut_arg)
+                o2, m2 = net.apply(variables, v2, train=True, rngs={"dropout": rng_utils.dropout_key(kd2)}, mutable=mut_arg)
                 if is_global:
                     # L2-normalize embeddings (reference Contrastive.py:142-144)
                     z1 = o1 / jnp.maximum(jnp.linalg.norm(o1, axis=1, keepdims=True), 1e-8)
