@@ -145,21 +145,28 @@ def main():
                 entry["mfu_pct"] = round(100.0 * tflops / peak, 2)
         results[f"patch{patch}"] = entry
 
-    # headline = 64^3; if that config errored, fall back to any measured one
-    # so the error string still ships in the JSON instead of a crash
-    v64 = results["patch64"].get("volumes_per_s")
-    if v64 is None:
-        v64 = next(
-            (r["volumes_per_s"] for r in results.values() if "volumes_per_s" in r),
-            0.0,
+    # headline = 64^3; if that config errored, fall back to another measured
+    # config so the error string still ships in the JSON instead of a crash
+    # — and say so in the unit (vs_baseline only compares the 64^3 grid)
+    headline = "patch64"
+    if "volumes_per_s" not in results["patch64"]:
+        headline = next(
+            (k for k, r in results.items() if "volumes_per_s" in r), None
         )
+    v = results[headline]["volumes_per_s"] if headline else 0.0
+    unit = "volumes/s (64x512x512 CT, 64^3 patches, 0.5 overlap, 3D U-Net d4f16)"
+    if headline != "patch64":
+        unit = f"volumes/s (64x512x512 CT, FALLBACK config {headline}; 64^3 config errored)"
     print(
         json.dumps(
             {
                 "metric": "ct_volumes_per_sec_per_chip_sliding_window",
-                "value": v64,
-                "unit": "volumes/s (64x512x512 CT, 64^3 patches, 0.5 overlap, 3D U-Net d4f16)",
-                "vs_baseline": round(v64 / TORCH_CPU_BASELINE_VOLS_PER_S, 2),
+                "value": v,
+                "unit": unit,
+                "vs_baseline": (
+                    round(v / TORCH_CPU_BASELINE_VOLS_PER_S, 2)
+                    if headline == "patch64" else None
+                ),
                 "extra": {
                     "device": jax.devices()[0].device_kind,
                     "peak_bf16_tflops": peak,

@@ -30,6 +30,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def estimate_hbm_bytes(dataset, patch_size: Sequence[int],
+                       max_pos: int = 16384) -> int:
+    """Bytes the sampler's device stack will occupy, computed from shapes
+    alone — callers check a budget with this BEFORE any upload happens."""
+    patch = tuple(int(p) for p in patch_size)
+    dmax = [0, 0, 0]
+    for v in dataset.volumes:
+        for a, (s, p) in enumerate(zip(v.shape, patch)):
+            dmax[a] = max(dmax[a], s, p)
+    n = len(dataset.volumes)
+    voxels = n * dmax[0] * dmax[1] * dmax[2]
+    return voxels * 4 + voxels * 1 + n * max_pos * 3 * 4  # f32 + u8 + table
+
+
 class DevicePatchSampler:
     """Jitted batched 3D patch sampler over an HBM-resident volume stack."""
 

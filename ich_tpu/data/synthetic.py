@@ -136,7 +136,6 @@ def write_segich_tree(
 
     Used as the spec-faithful on-disk fixture for loader tests and as the
     data source for prediction-overlay reports."""
-    import os
 
     import pandas as pd
     from PIL import Image

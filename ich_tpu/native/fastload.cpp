@@ -15,6 +15,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <new>
 #include <thread>
 #include <vector>
 #include <zlib.h>
@@ -54,19 +55,29 @@ size_t gzip_isize_hint(const char* path) {
 bool read_all(const char* path, std::vector<unsigned char>& buf) {
     gzFile f = gzopen(path, "rb");
     if (!f) return false;
-    gzbuffer(f, 1 << 20);  // default 8 KB internal buffer cripples gzread
-    size_t hint = gzip_isize_hint(path);
-    if (hint > 0 && hint < ((size_t)1 << 40)) buf.reserve(hint + 1);
-    const size_t chunk = 1 << 20;
-    size_t used = 0;
-    while (true) {
-        buf.resize(used + chunk);
-        int n = gzread(f, buf.data() + used, chunk);
-        if (n < 0) { gzclose(f); return false; }
-        used += (size_t)n;
-        if ((size_t)n < chunk) break;
+    try {
+        gzbuffer(f, 1 << 20);  // default 8 KB internal buffer cripples gzread
+        // Pre-size from the gzip ISIZE footer. ISIZE is a 32-bit field, so a
+        // corrupt footer can claim up to ~4.29 GB — cap the eager reserve at
+        // 2 GB (any real CT fits far below; oversized streams still load via
+        // the incremental resize below, they just reallocate).
+        size_t hint = gzip_isize_hint(path);
+        if (hint > 0 && hint <= ((size_t)1 << 31)) buf.reserve(hint + 1);
+        const size_t chunk = 1 << 20;
+        size_t used = 0;
+        while (true) {
+            buf.resize(used + chunk);
+            int n = gzread(f, buf.data() + used, chunk);
+            if (n < 0) { gzclose(f); return false; }
+            used += (size_t)n;
+            if ((size_t)n < chunk) break;
+        }
+        buf.resize(used);
+    } catch (const std::bad_alloc&) {
+        // never let C++ exceptions cross the extern "C" boundary
+        gzclose(f);
+        return false;
     }
-    buf.resize(used);
     gzclose(f);
     return true;
 }
@@ -100,17 +111,26 @@ int64_t datatype_size(int16_t datatype) {
 
 // validated element count + payload offset; returns n (>0) or <0 error code
 int64_t validate_payload(const NiftiHeader& h, size_t buf_size, size_t& off_out) {
+    // hard cap on the element count: a CT volume is << 2^31 voxels; this
+    // also makes the n * esize product below overflow-free (2^31 * 8 bytes
+    // = 2^34, far inside uint64) — without it, a crafted header with dims
+    // like 16384^4 wraps (uint64)n * esize to a small number and defeats
+    // the bounds check entirely.
+    const int64_t kMaxElems = (int64_t)1 << 31;
     int ndim = h.dim[0];
     if (ndim < 1 || ndim > 7) return -3;
     int64_t n = 1;
     for (int i = 1; i <= ndim; ++i) {
         if (h.dim[i] <= 0) return -3;
-        n *= (int64_t)h.dim[i];
+        n *= (int64_t)h.dim[i];  // n <= kMax before the multiply and
+        // dim[i] <= 32767, so n <= 2^49 here — no signed overflow possible
+        if (n > kMaxElems) return -3;
     }
     int64_t esize = datatype_size(h.datatype);
     if (esize == 0) return -6;
-    // vox_offset is stored as float: must be finite and >= 352 (header+ext)
-    if (!(h.vox_offset >= 348.0f) || !std::isfinite(h.vox_offset) ||
+    // vox_offset is stored as float: must be finite and >= 352 (the single
+    // -file .nii minimum: 348-byte header + 4 extension-flag bytes)
+    if (!std::isfinite(h.vox_offset) || !(h.vox_offset >= 352.0f) ||
         h.vox_offset > 9.0e15f)
         return -5;
     size_t off = (size_t)h.vox_offset;

@@ -199,6 +199,11 @@ class InpaintAnomalyDetector:
         h, w = image.shape
         grids = jnp.asarray(make_grid_masks((h, w), self.grid_hole, self.grid_step))
         key = jax.random.PRNGKey(self.seed)
+        # ONE generator threaded through every inpaint pass, so the cell
+        # order re-randomizes per pass like the reference's shuffled
+        # DataLoader (a fresh default_rng(seed) per call would replay the
+        # identical permutation every iteration)
+        shuffle_rng = np.random.default_rng(self.seed)
 
         # phase 1: initial detection
         d0 = self._distance_map(jnp.asarray(image), grids, key)
@@ -207,7 +212,8 @@ class InpaintAnomalyDetector:
             logger.info("Anomalous pixel detected : %d", int(ma.sum()))
         ma_dil = np.asarray(morph.dilation(jnp.asarray(ma, jnp.float32),
                                            2 * self.inpainting_dilation_radius[0] + 1)) > 0
-        corrected = self._inpaint_anomaly(image, ma_dil, self.grid_anomaly_inpaint[0])
+        corrected = self._inpaint_anomaly(image, ma_dil, self.grid_anomaly_inpaint[0],
+                                          rng=shuffle_rng)
         if save_dir:
             self._save_step(save_dir, 0, d0, ma, corrected)
 
@@ -225,7 +231,8 @@ class InpaintAnomalyDetector:
             ) > 0
             ma_dil = np.asarray(morph.dilation(jnp.asarray(ma, jnp.float32),
                                                2 * self.inpainting_dilation_radius[1] + 1)) > 0
-            corrected = self._inpaint_anomaly(image, ma_dil, self.grid_anomaly_inpaint[1])
+            corrected = self._inpaint_anomaly(image, ma_dil, self.grid_anomaly_inpaint[1],
+                                              rng=shuffle_rng)
             if verbose:
                 logger.info("| Step %03d/%03d | Remaining anomalous pixels : %d |",
                             i + 1, self.n_iter, int(ma.sum()))

@@ -152,21 +152,30 @@ class UNet3D(UNet2D):
 
         sampler = None
         if self.on_device_sampling is not False:
-            from ich_tpu.data.patch_sampler import DevicePatchSampler
+            from ich_tpu.data import patch_sampler as ps
 
-            try:
-                cand = DevicePatchSampler(
-                    dataset, self.patch_size, self.pos_frac
-                )
-                budget = 4 << 30
-                if self.on_device_sampling is True or cand.hbm_bytes <= budget:
-                    sampler = cand
+            # budget-check from shapes alone BEFORE any device upload: a
+            # too-big stack must not be device_put just to be rejected
+            budget = 4 << 30
+            est = ps.estimate_hbm_bytes(dataset, self.patch_size)
+            if self.on_device_sampling is True or est <= budget:
+                try:
+                    sampler = ps.DevicePatchSampler(
+                        dataset, self.patch_size, self.pos_frac
+                    )
                     logger.info(
                         "On-device patch sampling: %.1f MB HBM-resident.",
-                        cand.hbm_bytes / 2**20,
+                        sampler.hbm_bytes / 2**20,
                     )
-            except Exception as e:  # fall back to the host sampler
-                logger.warning("Device sampler unavailable (%s); host path.", e)
+                except Exception as e:  # fall back to the host sampler
+                    sampler = None
+                    logger.warning("Device sampler unavailable (%s); host path.", e)
+            else:
+                logger.info(
+                    "On-device sampling skipped: stack would need %.1f MB "
+                    "(> %.0f MB budget); using the host sampler.",
+                    est / 2**20, budget / 2**20,
+                )
 
         for epoch in range(n_epoch_finished, self.n_epoch):
             # device scalars, fetched once per epoch (keeps dispatch async)

@@ -89,8 +89,6 @@ def gen_rsna_csv(label_csv, out_csv):
     (reference ``generate_RSNA_csv.py``)."""
     import pandas as pd
 
-    import pandas as pd
-
     df = pd.read_csv(label_csv)
     parts = df.ID.str.rsplit("_", n=1, expand=True)
     df["sop"], df["subtype"] = parts[0], parts[1]
@@ -102,6 +100,8 @@ def gen_rsna_csv(label_csv, out_csv):
     piv.columns.name = None
     piv["filename"] = piv.sop + ".dcm"
     piv = piv.rename(columns={"any": "Hemorrhage"})
+    if "Hemorrhage" not in piv.columns:  # filtered csvs may lack 'any' rows
+        piv["Hemorrhage"] = 0
     piv["no_Hemorrhage"] = 1 - piv["Hemorrhage"]
     # the reference intends to drop the corrupted ID_6431af929.dcm but its
     # comparison includes a 'stage_2_train/' prefix the column never has

@@ -119,7 +119,7 @@ def _mip_three_view(vol, mask, spacing, out_fn):
 
     sx, sy, sz = spacing
     views = [
-        ("Axial MIP", 2, sy / sx),      # project along z, rows=x, cols=y
+        ("Axial MIP", 2, sx / sy),      # rows=x, cols=y; aspect = row/col unit
         ("Coronal MIP", 1, sz / sx),    # project along y
         ("Sagittal MIP", 0, sz / sy),   # project along x
     ]

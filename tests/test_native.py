@@ -85,6 +85,28 @@ def test_native_rejects_nonpositive_dim(tmp_path):
         native.load_nifti_f32(fn)
 
 
+def test_native_rejects_overflowing_dims(tmp_path):
+    """dims whose product wraps uint64 (16384^4 * 4 bytes ≡ 0 mod 2^64)
+    must be rejected by the element cap, not pass the bounds check."""
+    fn = str(tmp_path / "wrap.nii")
+    with open(fn, "wb") as f:
+        f.write(_raw_nifti((16384, 16384, 16384, 16384), datatype=16,
+                           bitpix=32, vox_offset=352.0, payload=b"\x01" * 64))
+    with pytest.raises(IOError):
+        native.load_nifti_f32(fn)
+
+
+def test_native_rejects_vox_offset_in_extension_bytes(tmp_path):
+    """vox_offset=348 would read the 4 extension-flag bytes as voxels; the
+    single-file minimum is 352."""
+    fn = str(tmp_path / "ext.nii")
+    with open(fn, "wb") as f:
+        f.write(_raw_nifti((2, 2), datatype=2, bitpix=8,
+                           vox_offset=348.0, payload=b"\x01" * 64))
+    with pytest.raises(IOError):
+        native.load_nifti_f32(fn)
+
+
 def test_native_float64_roundtrip(tmp_path):
     """Legit float64 volumes still decode (element size from datatype)."""
     vol = np.linspace(-10, 10, 24).reshape(2, 3, 4)
