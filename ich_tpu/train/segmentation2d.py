@@ -394,6 +394,15 @@ class UNet2D:
     # -- full-volume inference ----------------------------------------------
 
     def _make_segment_volume_fn(self, in_hw, z_pad, input_size, window):
+        # memoize per configuration: a fresh jax.jit closure per volume
+        # would recompile the identical program for every same-shaped CT
+        cache = getattr(self, "_segvol_cache", None)
+        if cache is None:
+            cache = self._segvol_cache = {}
+        cache_key = (tuple(in_hw), int(z_pad), tuple(input_size),
+                     tuple(window) if window is not None else None)
+        if cache_key in cache:
+            return cache[cache_key]
         net, bs = self.unet, self.batch_size
 
         @jax.jit
@@ -415,6 +424,7 @@ class UNet2D:
             pred = ct.resize_nearest(pred, (in_hw[0], in_hw[1], z_pad))
             return jnp.rot90(pred, axes=(1, 0))  # rotate back
 
+        cache[cache_key] = run
         return run
 
     def segment_volume(
@@ -444,6 +454,48 @@ class UNet2D:
             nifti.save(save_fn, pred, affine if affine is not None else np.eye(4))
         if return_pred:
             return pred
+
+    def segment_volumes(
+        self,
+        volumes,
+        affines=None,
+        save_fns=None,
+        window: Optional[Tuple[float, float]] = None,
+        input_size: Tuple[int, int] = (256, 256),
+        return_preds: bool = False,
+    ):
+        """Pipelined multi-volume segmentation: dispatch every volume's
+        jitted program without waiting, then fetch results in order — the
+        device never idles between volumes (executions are in-order), so a
+        directory of CTs runs at throughput rather than latency. Same-shaped
+        volumes share one compiled program (the per-config jit memoization
+        above)."""
+        if self.state is None:
+            self._ensure_state(tuple(input_size))
+        variables = self._variables()
+        pending = []
+        for vol_data in volumes:
+            h, w, z = vol_data.shape
+            z_pad = int(np.ceil(z / self.batch_size) * self.batch_size)
+            vol = np.zeros((h, w, z_pad), dtype=np.float32)
+            vol[:, :, :z] = vol_data
+            run = self._make_segment_volume_fn(
+                (h, w), z_pad, tuple(input_size), window
+            )
+            pending.append((run(variables, jnp.asarray(vol)), z))
+
+        preds = []
+        for i, (dev_pred, z) in enumerate(pending):
+            pred = (np.asarray(dev_pred)[:, :, :z] * 255).astype(np.uint8)
+            if save_fns is not None and save_fns[i]:
+                from ich_tpu.data import nifti
+
+                aff = affines[i] if affines is not None else None
+                nifti.save(save_fns[i], pred,
+                           aff if aff is not None else np.eye(4))
+            if return_preds:
+                preds.append(pred)
+        return preds if return_preds else None
 
     # reference-name alias (the reference misspells it; keep both)
     segement_volume = segment_volume

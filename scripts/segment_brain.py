@@ -37,14 +37,19 @@ def main(vol_paths, output_dir, model_path, depth, top_filter, midchannels_facto
     )
     trainer.load_model(model_path, image_shape=(size, size))
     os.makedirs(output_dir, exist_ok=True)
+    vols, affines, out_fns = [], [], []
     for vp in vol_paths:
         vol, affine, _ = nifti.load(vp)
         name = os.path.basename(vp).replace(".nii.gz", "").replace(".nii", "")
-        out_fn = os.path.join(output_dir, f"{name}_mask.nii.gz")
-        trainer.segment_volume(
-            vol, affine=affine, save_fn=out_fn,
-            window=(win_center, win_width), input_size=(size, size),
-        )
+        vols.append(vol)
+        affines.append(affine)
+        out_fns.append(os.path.join(output_dir, f"{name}_mask.nii.gz"))
+    # pipelined: all volumes dispatched before the first result is fetched
+    trainer.segment_volumes(
+        vols, affines=affines, save_fns=out_fns,
+        window=(win_center, win_width), input_size=(size, size),
+    )
+    for vp, out_fn in zip(vol_paths, out_fns):
         click.echo(f"{vp} -> {out_fn}")
 
 

@@ -143,6 +143,30 @@ def test_segment_volume(tmp_path):
     np.testing.assert_array_equal(data, out)
 
 
+def test_segment_volumes_pipelined_matches_single(tmp_path):
+    """The pipelined multi-volume API must equal per-volume segment_volume,
+    and same-shaped volumes must share one compiled program."""
+    vols = [synthetic_ich_volume(size=32, depth=20, seed=s)[0] for s in (3, 4)]
+    t = _trainer(batch_size=8)
+    singles = [
+        t.segment_volume(v, window=(50, 200), input_size=(32, 32),
+                         return_pred=True)
+        for v in vols
+    ]
+    n_compiled = len(t._segvol_cache)
+    assert n_compiled == 1  # same shape -> one jitted program, memoized
+    outs = t.segment_volumes(vols, window=(50, 200), input_size=(32, 32),
+                             save_fns=[None, str(tmp_path / "b.nii.gz")],
+                             return_preds=True)
+    assert len(t._segvol_cache) == n_compiled  # reused, not re-jitted
+    for a, b in zip(singles, outs):
+        np.testing.assert_array_equal(a, b)
+    from ich_tpu.data import nifti
+
+    data2, _, _ = nifti.load(str(tmp_path / "b.nii.gz"))
+    np.testing.assert_array_equal(data2, outs[1])
+
+
 def test_device_cached_dataset_training(data):
     import jax
 
