@@ -256,6 +256,51 @@ class UNet3D(UNet2D):
 
     segement_volume = segment_volume  # reference-name alias
 
+    def segment_volumes(
+        self,
+        volumes,
+        affines=None,
+        save_fns=None,
+        window: Optional[Tuple[float, float]] = None,
+        threshold: float = 0.5,
+        return_preds: bool = False,
+        **_: object,
+    ):
+        """Pipelined multi-volume 3D segmentation (mirrors the 2.5D API):
+        every volume's sliding-window program is dispatched before the
+        first result is fetched, so same-shaped CTs run back-to-back on
+        the device (executions are in-order; the jitted program is cached
+        per shape)."""
+        net = self.unet
+        variables = self._variables()
+        apply_fn = lambda v, x: net.apply(v, x, train=False)
+        pending = []
+        for vol_data in volumes:
+            vol = jnp.asarray(np.asarray(vol_data, dtype=np.float32))
+            if window is not None:
+                from ich_tpu.ops.ct import window_ct
+
+                vol = window_ct(vol, window[0], window[1])
+            pending.append(
+                sliding_window_inference(
+                    apply_fn, variables, vol,
+                    patch_size=self.patch_size, overlap=self.sw_overlap,
+                    batch_size=self.sw_batch_size,
+                )
+            )
+        preds = []
+        for i, probs in enumerate(pending):
+            pred = np.asarray(probs[..., 0] >= threshold).astype(np.uint8) * np.uint8(255)
+            if save_fns is not None and save_fns[i]:
+                from ich_tpu.data import nifti
+
+                aff = affines[i] if affines is not None else None
+                nifti.save(save_fns[i], pred,
+                           aff if aff is not None else np.eye(4))
+            if return_preds:
+                preds.append(pred)
+        return preds if return_preds else None
+
     def predict_volume(self, vol: np.ndarray, threshold: float = 0.5) -> np.ndarray:
         """Full-volume probability → binary mask via sliding window.
         vol: (D, H, W) preprocessed (windowed/resampled) volume."""

@@ -1,0 +1,27 @@
+"""UNet3D.segment_volumes (pipelined) must equal per-volume segment_volume."""
+
+import numpy as np
+
+from ich_tpu.data.synthetic import synthetic_ich_volume
+from ich_tpu.models.unet import UNet
+from ich_tpu.train.segmentation3d import UNet3D
+
+
+def test_3d_pipelined_matches_single(tmp_path):
+    net = UNet(depth=2, ndim=3, top_filter=4, p_dropout=0.0, norm="group")
+    tr = UNet3D(net, patch_size=(8, 16, 16), n_epoch=1, batch_size=2, lr=1e-3,
+                loss_fn="BinaryDiceLoss", loss_fn_kwargs={"reduction": "mean"},
+                sw_batch_size=4)
+    tr._ensure_state((8, 16, 16), steps_per_epoch=1)
+    vols = [np.transpose(synthetic_ich_volume(size=16, depth=8, seed=s)[0],
+                         (2, 0, 1)) for s in (1, 2)]
+    singles = [tr.segment_volume(v, window=(50, 200)) for v in vols]
+    outs = tr.segment_volumes(vols, window=(50, 200),
+                              save_fns=[None, str(tmp_path / "m.nii.gz")],
+                              return_preds=True)
+    for a, b in zip(singles, outs):
+        np.testing.assert_array_equal(a, b)
+    from ich_tpu.data import nifti
+
+    data, _, _ = nifti.load(str(tmp_path / "m.nii.gz"))
+    np.testing.assert_array_equal(data, outs[1])
