@@ -155,7 +155,9 @@ def main():
         )
     v = results[headline]["volumes_per_s"] if headline else 0.0
     unit = "volumes/s (64x512x512 CT, 64^3 patches, 0.5 overlap, 3D U-Net d4f16)"
-    if headline != "patch64":
+    if headline is None:
+        unit = "volumes/s (NO config measured; see extra.configs for errors)"
+    elif headline != "patch64":
         unit = f"volumes/s (64x512x512 CT, FALLBACK config {headline}; 64^3 config errored)"
     print(
         json.dumps(

@@ -35,25 +35,47 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+def _barrier():
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ich_tpu_ckpt_swap")
+
+
 def save_checkpoint_sharded(path: str, state: Any, epoch: int, history: list) -> None:
     """Write ``state`` under ``path/state`` (sharded, each host its own
-    shards) + ``path/meta.json``. ``path`` is a directory."""
+    shards) + ``path/meta.json``. ``path`` is a directory.
+
+    Crash-safe ordering: the new checkpoint is fully written to
+    ``state.new`` BEFORE the previous ``state`` is replaced, so a crash at
+    any point leaves at least one complete checkpoint on disk (the loader
+    falls back to ``state.new`` when ``state`` is missing). The destructive
+    swap runs on process 0 only, after a cross-host barrier — every host's
+    shards are finalized before anything is deleted."""
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     ckptr = _checkpointer()
     state_dir = os.path.join(path, _STATE)
-    # orbax refuses to overwrite a finalized checkpoint; a crash-resume
-    # rewrite of the same epoch is legitimate, so clear it first
-    if os.path.exists(state_dir):
+    new_dir = state_dir + ".new"
+    if os.path.exists(new_dir) and jax.process_index() == 0:
         import shutil
 
-        shutil.rmtree(state_dir)
-    ckptr.save(state_dir, state)
+        shutil.rmtree(new_dir)  # leftover from an interrupted save
+    _barrier()
+    ckptr.save(new_dir, state)
     ckptr.wait_until_finished()
-    meta_tmp = os.path.join(path, _META + ".tmp")
-    with open(meta_tmp, "w") as f:
-        json.dump({"epoch": int(epoch), "history": history}, f)
-    os.replace(meta_tmp, os.path.join(path, _META))
+    _barrier()  # all hosts' shards finalized before the swap
+    if jax.process_index() == 0:
+        import shutil
+
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.replace(new_dir, state_dir)
+        meta_tmp = os.path.join(path, _META + ".tmp")
+        with open(meta_tmp, "w") as f:
+            json.dump({"epoch": int(epoch), "history": history}, f)
+        os.replace(meta_tmp, os.path.join(path, _META))
+    _barrier()
 
 
 def load_checkpoint_sharded(
@@ -65,6 +87,11 @@ def load_checkpoint_sharded(
     path = os.path.abspath(path)
     state_dir = os.path.join(path, _STATE)
     meta_fn = os.path.join(path, _META)
+    if not os.path.isdir(state_dir) and os.path.isdir(state_dir + ".new"):
+        # crash between finalize and swap: the new checkpoint is complete
+        # (meta.json may still carry the previous epoch — resume then
+        # replays at most one epoch, never loses state)
+        state_dir = state_dir + ".new"
     if not (os.path.isdir(state_dir) and os.path.exists(meta_fn)):
         return None
     ckptr = _checkpointer()

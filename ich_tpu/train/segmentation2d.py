@@ -463,29 +463,23 @@ class UNet2D:
         window: Optional[Tuple[float, float]] = None,
         input_size: Tuple[int, int] = (256, 256),
         return_preds: bool = False,
+        pipeline_depth: int = 4,
     ):
-        """Pipelined multi-volume segmentation: dispatch every volume's
-        jitted program without waiting, then fetch results in order — the
-        device never idles between volumes (executions are in-order), so a
-        directory of CTs runs at throughput rather than latency. Same-shaped
-        volumes share one compiled program (the per-config jit memoization
-        above)."""
+        """Pipelined multi-volume segmentation: up to ``pipeline_depth``
+        volumes' jitted programs are in flight before the oldest result is
+        fetched — the device never idles between volumes (executions are
+        in-order) while device memory stays bounded (an unbounded dispatch
+        of a whole directory would keep every input + probability volume
+        resident in HBM at once). Same-shaped volumes share one compiled
+        program (the per-config jit memoization above)."""
         if self.state is None:
             self._ensure_state(tuple(input_size))
         variables = self._variables()
-        pending = []
-        for vol_data in volumes:
-            h, w, z = vol_data.shape
-            z_pad = int(np.ceil(z / self.batch_size) * self.batch_size)
-            vol = np.zeros((h, w, z_pad), dtype=np.float32)
-            vol[:, :, :z] = vol_data
-            run = self._make_segment_volume_fn(
-                (h, w), z_pad, tuple(input_size), window
-            )
-            pending.append((run(variables, jnp.asarray(vol)), z))
-
         preds = []
-        for i, (dev_pred, z) in enumerate(pending):
+        pending = []
+
+        def drain_one():
+            i, dev_pred, z = pending.pop(0)
             pred = (np.asarray(dev_pred)[:, :, :z] * 255).astype(np.uint8)
             if save_fns is not None and save_fns[i]:
                 from ich_tpu.data import nifti
@@ -495,6 +489,20 @@ class UNet2D:
                            aff if aff is not None else np.eye(4))
             if return_preds:
                 preds.append(pred)
+
+        for i, vol_data in enumerate(volumes):
+            h, w, z = vol_data.shape
+            z_pad = int(np.ceil(z / self.batch_size) * self.batch_size)
+            vol = np.zeros((h, w, z_pad), dtype=np.float32)
+            vol[:, :, :z] = vol_data
+            run = self._make_segment_volume_fn(
+                (h, w), z_pad, tuple(input_size), window
+            )
+            pending.append((i, run(variables, jnp.asarray(vol)), z))
+            if len(pending) >= max(1, pipeline_depth):
+                drain_one()
+        while pending:
+            drain_one()
         return preds if return_preds else None
 
     # reference-name alias (the reference misspells it; keep both)

@@ -264,32 +264,23 @@ class UNet3D(UNet2D):
         window: Optional[Tuple[float, float]] = None,
         threshold: float = 0.5,
         return_preds: bool = False,
+        pipeline_depth: int = 2,
         **_: object,
     ):
         """Pipelined multi-volume 3D segmentation (mirrors the 2.5D API):
-        every volume's sliding-window program is dispatched before the
-        first result is fetched, so same-shaped CTs run back-to-back on
-        the device (executions are in-order; the jitted program is cached
-        per shape)."""
+        up to ``pipeline_depth`` volumes' sliding-window programs are in
+        flight before the oldest result is fetched, so same-shaped CTs run
+        back-to-back on the device while HBM stays bounded (full-volume
+        inputs + probability maps are ~130 MB each at the headline shape —
+        an unbounded dispatch of a directory would OOM)."""
         net = self.unet
         variables = self._variables()
         apply_fn = lambda v, x: net.apply(v, x, train=False)
-        pending = []
-        for vol_data in volumes:
-            vol = jnp.asarray(np.asarray(vol_data, dtype=np.float32))
-            if window is not None:
-                from ich_tpu.ops.ct import window_ct
-
-                vol = window_ct(vol, window[0], window[1])
-            pending.append(
-                sliding_window_inference(
-                    apply_fn, variables, vol,
-                    patch_size=self.patch_size, overlap=self.sw_overlap,
-                    batch_size=self.sw_batch_size,
-                )
-            )
         preds = []
-        for i, probs in enumerate(pending):
+        pending = []
+
+        def drain_one():
+            i, probs = pending.pop(0)
             pred = np.asarray(probs[..., 0] >= threshold).astype(np.uint8) * np.uint8(255)
             if save_fns is not None and save_fns[i]:
                 from ich_tpu.data import nifti
@@ -299,6 +290,22 @@ class UNet3D(UNet2D):
                            aff if aff is not None else np.eye(4))
             if return_preds:
                 preds.append(pred)
+
+        for i, vol_data in enumerate(volumes):
+            vol = jnp.asarray(np.asarray(vol_data, dtype=np.float32))
+            if window is not None:
+                from ich_tpu.ops.ct import window_ct
+
+                vol = window_ct(vol, window[0], window[1])
+            pending.append((i, sliding_window_inference(
+                apply_fn, variables, vol,
+                patch_size=self.patch_size, overlap=self.sw_overlap,
+                batch_size=self.sw_batch_size,
+            )))
+            if len(pending) >= max(1, pipeline_depth):
+                drain_one()
+        while pending:
+            drain_one()
         return preds if return_preds else None
 
     def predict_volume(self, vol: np.ndarray, threshold: float = 0.5) -> np.ndarray:

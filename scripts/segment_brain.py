@@ -37,16 +37,20 @@ def main(vol_paths, output_dir, model_path, depth, top_filter, midchannels_facto
     )
     trainer.load_model(model_path, image_shape=(size, size))
     os.makedirs(output_dir, exist_ok=True)
-    vols, affines, out_fns = [], [], []
+    affines, out_fns = [], []
     for vp in vol_paths:
-        vol, affine, _ = nifti.load(vp)
         name = os.path.basename(vp).replace(".nii.gz", "").replace(".nii", "")
-        vols.append(vol)
-        affines.append(affine)
         out_fns.append(os.path.join(output_dir, f"{name}_mask.nii.gz"))
-    # pipelined: all volumes dispatched before the first result is fetched
+
+    def stream():  # lazy decode: host memory stays O(pipeline depth)
+        for vp in vol_paths:
+            vol, affine, _ = nifti.load(vp)
+            affines.append(affine)
+            yield vol
+
+    # pipelined dispatch with a bounded in-flight window
     trainer.segment_volumes(
-        vols, affines=affines, save_fns=out_fns,
+        stream(), affines=affines, save_fns=out_fns,
         window=(win_center, win_width), input_size=(size, size),
     )
     for vp, out_fn in zip(vol_paths, out_fns):

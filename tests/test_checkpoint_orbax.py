@@ -42,6 +42,22 @@ def test_sharded_roundtrip_preserves_values_and_sharding(tmp_path):
     assert int(restored["step"]) == 7
 
 
+def test_crash_between_finalize_and_swap_restores_new(tmp_path):
+    """If the process died after writing state.new but before the swap,
+    the loader must restore the complete new checkpoint, not fail."""
+    import os
+    import shutil
+
+    state = {"w": jnp.full((4,), 2.0)}
+    path = str(tmp_path / "ckpt")
+    cko.save_checkpoint_sharded(path, state, 1, [[1, 0.9]])
+    # simulate the crash window: the finalized save exists only as .new
+    os.rename(os.path.join(path, "state"), os.path.join(path, "state.new"))
+    restored, epoch, _ = cko.load_checkpoint_sharded(path, state)
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.full(4, 2.0))
+    assert epoch == 1
+
+
 def test_same_epoch_rewrite_allowed(tmp_path):
     state = {"w": jnp.zeros((4,))}
     path = str(tmp_path / "ckpt")
