@@ -337,14 +337,29 @@ class UNet3D(UNet2D):
             logger.info("Start evaluating the 3D U-Net.")
         start_time = time.time()
         rows = {"volID": [], "label": [], "TP": [], "TN": [], "FP": [], "FN": []}
+        # The whole per-volume chain (sliding window -> threshold ->
+        # confusion counts) stays on device and only FOUR scalars come back
+        # per volume — the previous path fetched the full predicted volume
+        # to host and re-uploaded it for the counts (two multi-MB tunnel
+        # transfers per volume). Dispatches pipeline in-order; counts are
+        # fetched after the loop.
+        net = self.unet
+        variables = self._variables()
+        apply_fn = lambda v, x: net.apply(v, x, train=False)
+        pending = []
         for vi in range(len(dataset)):
-            pred = self.predict_volume(dataset.volumes[vi])
-            mask = dataset.masks[vi]
-            tn, fp, fn, tp = batch_binary_confusion_matrix(
-                jnp.asarray(pred)[None], jnp.asarray(mask)[None]
+            vol = jnp.asarray(np.asarray(dataset.volumes[vi], np.float32))
+            mask = jnp.asarray(np.asarray(dataset.masks[vi], np.float32))
+            probs = sliding_window_inference(
+                apply_fn, variables, vol,
+                patch_size=self.patch_size, overlap=self.sw_overlap,
+                batch_size=self.sw_batch_size,
             )
+            pred = (probs[..., 0] >= 0.5).astype(jnp.float32)
+            pending.append(batch_binary_confusion_matrix(pred[None], mask[None]))
+        for vi, (tn, fp, fn, tp) in enumerate(pending):
             rows["volID"].append(int(dataset.vol_ids[vi]))
-            rows["label"].append(int(mask.max() > 0))
+            rows["label"].append(int(dataset.masks[vi].max() > 0))
             rows["TP"].append(float(tp[0]))
             rows["TN"].append(float(tn[0]))
             rows["FP"].append(float(fp[0]))
