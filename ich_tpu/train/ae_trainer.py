@@ -118,8 +118,8 @@ class AE(_SSLBase):
 
         out = []
         for idx in batch_indices(len(images), self.batch_size, shuffle=False, pad_wrap=False):
-            out.append(np.asarray(run(jnp.asarray(images[idx]))))
-        return np.concatenate(out, axis=0)[..., 0]
+            out.append(run(jnp.asarray(images[idx])))  # fetch after the loop
+        return np.concatenate([np.asarray(o) for o in out], axis=0)[..., 0]
 
     def anomaly_map(self, images: np.ndarray) -> np.ndarray:
         """|im - rec| heatmaps (the AD_AE scoring, reference

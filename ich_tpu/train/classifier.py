@@ -129,9 +129,11 @@ class _ClassifierBase(_SSLBase):
 
         out = []
         n = len(images)
+        # dispatch every batch, fetch after the loop: per-batch np.asarray
+        # would pay one ~34 ms tunnel round-trip per batch on this platform
         for idx in batch_indices(n, self.batch_size, shuffle=False, pad_wrap=False):
-            out.append(np.asarray(run(variables, jnp.asarray(images[idx]))))
-        return np.concatenate(out, axis=0)
+            out.append(run(variables, jnp.asarray(images[idx])))
+        return np.concatenate([np.asarray(o) for o in out], axis=0)
 
     def evaluate(self, dataset, print_to_logger: bool = True, save_path: Optional[str] = None):
         start = time.time()

@@ -147,8 +147,8 @@ class FCDD(_SSLBase):
         run = self._score_fn()
         out = []
         for idx in batch_indices(len(images), self.batch_size, shuffle=False, pad_wrap=False):
-            out.append(np.asarray(run(jnp.asarray(images[idx]))[1]))
-        return np.concatenate(out)
+            out.append(run(jnp.asarray(images[idx]))[1])  # fetch after the loop
+        return np.concatenate([np.asarray(o) for o in out])
 
     def generate_heatmap(self, images: np.ndarray, scale: bool = True) -> np.ndarray:
         """Receptive-field Gaussian heatmaps at input resolution; optionally
@@ -168,8 +168,8 @@ class FCDD(_SSLBase):
 
         out = []
         for idx in batch_indices(len(images), self.batch_size, shuffle=False, pad_wrap=False):
-            out.append(np.asarray(run(jnp.asarray(images[idx]))))
-        heat = np.concatenate(out)[..., 0]
+            out.append(run(jnp.asarray(images[idx])))  # fetch after the loop
+        heat = np.concatenate([np.asarray(o) for o in out])[..., 0]
         if scale and self.min_max is not None:
             lo, hi = self.min_max
             heat = np.clip((heat - lo) / max(hi - lo, 1e-8), 0.0, 1.0)

@@ -230,8 +230,8 @@ class _SSLBase:
         n = min(len(dataset), max_samples)
         feats = []
         for idx in batch_indices(n, self.batch_size, shuffle=False, pad_wrap=False):
-            feats.append(np.asarray(run(variables, jnp.asarray(dataset.images[idx]))))
-        feats = np.concatenate(feats, axis=0)[:n]
+            feats.append(run(variables, jnp.asarray(dataset.images[idx])))
+        feats = np.concatenate([np.asarray(f) for f in feats], axis=0)[:n]
         emb = TSNE(n_components=2, init="pca", random_state=self.seed).fit_transform(feats)
         if labels is not None:
             payload = np.concatenate(
