@@ -116,10 +116,12 @@ class AE(_SSLBase):
                 x = x[..., None]
             return net.apply(variables, x, train=False)
 
-        out = []
-        for idx in batch_indices(len(images), self.batch_size, shuffle=False, pad_wrap=False):
-            out.append(run(jnp.asarray(images[idx])))  # fetch after the loop
-        return np.concatenate([np.asarray(o) for o in out], axis=0)[..., 0]
+        from ich_tpu.utils.pipeline import fetch_pipelined
+
+        dev = (run(jnp.asarray(images[idx]))
+               for idx in batch_indices(len(images), self.batch_size, shuffle=False, pad_wrap=False))
+        # image-sized outputs: small in-flight window keeps HBM O(depth)
+        return np.concatenate(list(fetch_pipelined(dev, depth=4)), axis=0)[..., 0]
 
     def anomaly_map(self, images: np.ndarray) -> np.ndarray:
         """|im - rec| heatmaps (the AD_AE scoring, reference

@@ -127,13 +127,14 @@ class _ClassifierBase(_SSLBase):
                 x = x[..., None]
             return scores_of(net.apply(v, x, train=False))
 
-        out = []
+        from ich_tpu.utils.pipeline import fetch_pipelined
+
         n = len(images)
-        # dispatch every batch, fetch after the loop: per-batch np.asarray
-        # would pay one ~34 ms tunnel round-trip per batch on this platform
-        for idx in batch_indices(n, self.batch_size, shuffle=False, pad_wrap=False):
-            out.append(run(variables, jnp.asarray(images[idx])))
-        return np.concatenate([np.asarray(o) for o in out], axis=0)
+        # bounded pipeline: per-batch fetch pays a ~34 ms tunnel round-trip,
+        # unbounded dispatch pins every batch in HBM — keep `depth` in flight
+        dev = (run(variables, jnp.asarray(images[idx]))
+               for idx in batch_indices(n, self.batch_size, shuffle=False, pad_wrap=False))
+        return np.concatenate(list(fetch_pipelined(dev, depth=8)), axis=0)
 
     def evaluate(self, dataset, print_to_logger: bool = True, save_path: Optional[str] = None):
         start = time.time()

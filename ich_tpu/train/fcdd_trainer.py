@@ -145,10 +145,11 @@ class FCDD(_SSLBase):
     def anomaly_scores(self, images: np.ndarray) -> np.ndarray:
         """Per-slice anomaly score sum(sqrt(f^2+1)-1) (reference ``:172``)."""
         run = self._score_fn()
-        out = []
-        for idx in batch_indices(len(images), self.batch_size, shuffle=False, pad_wrap=False):
-            out.append(run(jnp.asarray(images[idx]))[1])  # fetch after the loop
-        return np.concatenate([np.asarray(o) for o in out])
+        from ich_tpu.utils.pipeline import fetch_pipelined
+
+        dev = (run(jnp.asarray(images[idx]))[1]
+               for idx in batch_indices(len(images), self.batch_size, shuffle=False, pad_wrap=False))
+        return np.concatenate(list(fetch_pipelined(dev, depth=8)))
 
     def generate_heatmap(self, images: np.ndarray, scale: bool = True) -> np.ndarray:
         """Receptive-field Gaussian heatmaps at input resolution; optionally
@@ -166,10 +167,11 @@ class FCDD(_SSLBase):
             s = net.apply(variables, x, train=False)
             return FCDD_CNN_VGG.heatmap(s, hw, std=std)
 
-        out = []
-        for idx in batch_indices(len(images), self.batch_size, shuffle=False, pad_wrap=False):
-            out.append(run(jnp.asarray(images[idx])))  # fetch after the loop
-        heat = np.concatenate([np.asarray(o) for o in out])[..., 0]
+        from ich_tpu.utils.pipeline import fetch_pipelined
+
+        dev = (run(jnp.asarray(images[idx]))
+               for idx in batch_indices(len(images), self.batch_size, shuffle=False, pad_wrap=False))
+        heat = np.concatenate(list(fetch_pipelined(dev, depth=4)))[..., 0]
         if scale and self.min_max is not None:
             lo, hi = self.min_max
             heat = np.clip((heat - lo) / max(hi - lo, 1e-8), 0.0, 1.0)

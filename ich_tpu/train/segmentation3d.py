@@ -343,27 +343,37 @@ class UNet3D(UNet2D):
         # to host and re-uploaded it for the counts (two multi-MB tunnel
         # transfers per volume). Dispatches pipeline in-order; counts are
         # fetched after the loop.
+        from ich_tpu.utils.pipeline import fetch_pipelined
+
         net = self.unet
         variables = self._variables()
         apply_fn = lambda v, x: net.apply(v, x, train=False)
-        pending = []
-        for vi in range(len(dataset)):
-            vol = jnp.asarray(np.asarray(dataset.volumes[vi], np.float32))
-            mask = jnp.asarray(np.asarray(dataset.masks[vi], np.float32))
-            probs = sliding_window_inference(
-                apply_fn, variables, vol,
-                patch_size=self.patch_size, overlap=self.sw_overlap,
-                batch_size=self.sw_batch_size,
-            )
-            pred = (probs[..., 0] >= 0.5).astype(jnp.float32)
-            pending.append(batch_binary_confusion_matrix(pred[None], mask[None]))
-        for vi, (tn, fp, fn, tp) in enumerate(pending):
+
+        def counts_iter():
+            for vi in range(len(dataset)):
+                vol = jnp.asarray(np.asarray(dataset.volumes[vi], np.float32))
+                mask = jnp.asarray(np.asarray(dataset.masks[vi], np.float32))
+                probs = sliding_window_inference(
+                    apply_fn, variables, vol,
+                    patch_size=self.patch_size, overlap=self.sw_overlap,
+                    batch_size=self.sw_batch_size,
+                )
+                pred = (probs[..., 0] >= 0.5).astype(jnp.float32)
+                tn, fp, fn, tp = batch_binary_confusion_matrix(pred[None], mask[None])
+                # one stacked fetch per volume (4 scalar fetches would pay
+                # 4 tunnel round-trips each)
+                yield jnp.stack([tn[0], fp[0], fn[0], tp[0]])
+
+        # bounded in-flight window: full-volume inputs/probs are ~130 MB
+        # each at the headline shape — unbounded dispatch would OOM HBM
+        for vi, c in enumerate(fetch_pipelined(counts_iter(), depth=2)):
+            tn, fp, fn, tp = (float(v) for v in c)
             rows["volID"].append(int(dataset.vol_ids[vi]))
             rows["label"].append(int(dataset.masks[vi].max() > 0))
-            rows["TP"].append(float(tp[0]))
-            rows["TN"].append(float(tn[0]))
-            rows["FP"].append(float(fp[0]))
-            rows["FN"].append(float(fn[0]))
+            rows["TP"].append(tp)
+            rows["TN"].append(tn)
+            rows["FP"].append(fp)
+            rows["FN"].append(fn)
         df = pd.DataFrame(rows)
         df["Dice"] = np.asarray(
             dice_from_counts(df.TP.values, df.FP.values, df.FN.values)

@@ -228,10 +228,11 @@ class _SSLBase:
         run = self._bottleneck_fn()
         variables = self._variables()
         n = min(len(dataset), max_samples)
-        feats = []
-        for idx in batch_indices(n, self.batch_size, shuffle=False, pad_wrap=False):
-            feats.append(run(variables, jnp.asarray(dataset.images[idx])))
-        feats = np.concatenate([np.asarray(f) for f in feats], axis=0)[:n]
+        from ich_tpu.utils.pipeline import fetch_pipelined
+
+        dev = (run(variables, jnp.asarray(dataset.images[idx]))
+               for idx in batch_indices(n, self.batch_size, shuffle=False, pad_wrap=False))
+        feats = np.concatenate(list(fetch_pipelined(dev, depth=8)), axis=0)[:n]
         emb = TSNE(n_components=2, init="pca", random_state=self.seed).fit_transform(feats)
         if labels is not None:
             payload = np.concatenate(
