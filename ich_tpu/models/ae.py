@@ -13,6 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ich_tpu.models.layers import upsample_linear
 from ich_tpu.utils.config import NETWORKS
 
 Dtype = Any
@@ -24,6 +25,11 @@ def _bn_relu(x, train, name):
 
 
 class AEEncoder(nn.Module):
+    """Reference ``AE_net.py:13-39``: in-conv (k, s1) then n_conv stride-2
+    convs doubling channels, then a k3 s2 bottleneck conv; all torch-style
+    symmetric padding (explicit — XLA SAME aligns stride-2 windows
+    differently)."""
+
     latent_channels: int = 64
     bottleneck_channels: int = 64
     n_conv: int = 3
@@ -33,20 +39,27 @@ class AEEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = (self.kernel_size,) * 2
-        x = nn.Conv(self.latent_channels, k, padding="SAME", dtype=self.dtype, name="in_conv")(x)
+        p = ((self.kernel_size - 1) // 2,) * 2
+        x = nn.Conv(self.latent_channels, k, padding=(p, p), dtype=self.dtype, name="in_conv")(x)
         x = _bn_relu(x, train, "in_bn")
         for i in range(self.n_conv):
             ch = self.latent_channels * 2 ** (i + 1)
-            x = nn.Conv(ch, k, strides=(2, 2), padding="SAME", dtype=self.dtype, name=f"conv{i}")(x)
+            x = nn.Conv(ch, k, strides=(2, 2), padding=(p, p), dtype=self.dtype, name=f"conv{i}")(x)
             x = _bn_relu(x, train, f"bn{i}")
         x = nn.Conv(
-            self.bottleneck_channels, (3, 3), strides=(2, 2), padding="SAME",
+            self.bottleneck_channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
             dtype=self.dtype, name="bottleneck_conv",
         )(x)
         return _bn_relu(x, train, "bottleneck_bn")
 
 
 class AEDecoder(nn.Module):
+    """Reference ``AE_net.py:41-75``. Non-bilinear: bottleneck convT k2 s2,
+    then n_conv convTs with kernel ``kernel_size-1`` stride 2 and torch
+    padding ``(kernel_size-2)//2`` (flax explicit padding ``k-1-p``).
+    Bilinear: ×2 corner-aligned upsample + conv (k3 for the bottleneck,
+    ``kernel_size`` for the rest)."""
+
     latent_channels: int = 64
     out_channels: int = 1
     n_conv: int = 3
@@ -58,23 +71,30 @@ class AEDecoder(nn.Module):
     def __call__(self, x, train: bool = False):
         chans = [self.latent_channels * 2 ** (i + 1) for i in range(self.n_conv)][::-1]
 
-        def up(x, ch, name):
+        def up(x, ch, name, bottleneck=False):
             if self.bilinear:
-                b, h, w, c = x.shape
-                x = jax.image.resize(x, (b, 2 * h, 2 * w, c), "linear")
-                x = nn.Conv(ch, (self.kernel_size,) * 2, padding="SAME",
+                x = upsample_linear(x, 2, align_corners=True)
+                k = 3 if bottleneck else self.kernel_size
+                x = nn.Conv(ch, (k, k), padding=(((k - 1) // 2,) * 2,) * 2,
                             dtype=self.dtype, name=name)(x)
-            else:
+            elif bottleneck:
                 x = nn.ConvTranspose(ch, (2, 2), strides=(2, 2), padding="VALID",
+                                     dtype=self.dtype, name=name)(x)
+            else:
+                kt = self.kernel_size - 1
+                pt = kt - 1 - (self.kernel_size - 2) // 2
+                x = nn.ConvTranspose(ch, (kt, kt), strides=(2, 2),
+                                     padding=((pt, pt), (pt, pt)),
                                      dtype=self.dtype, name=name)(x)
             return x
 
-        x = up(x, chans[0], "bottleneck_convT")
+        x = up(x, chans[0], "bottleneck_convT", bottleneck=True)
         x = _bn_relu(x, train, "bottleneck_bn")
         for i, ch in enumerate(chans):
             x = up(x, ch // 2, f"convT{i}")
             x = _bn_relu(x, train, f"bn{i}")
-        x = nn.Conv(self.out_channels, (self.kernel_size,) * 2, padding="SAME",
+        p = ((self.kernel_size - 1) // 2,) * 2
+        x = nn.Conv(self.out_channels, (self.kernel_size,) * 2, padding=(p, p),
                     dtype=self.dtype, name="out_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="out_bn")(x)
         return jnp.tanh(x)

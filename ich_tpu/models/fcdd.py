@@ -37,24 +37,38 @@ _VGG_PLAN = (
 )
 
 
-def receptive_field(plan=_VGG_PLAN) -> Tuple[int, int]:
-    """(receptive field size r, cumulative stride j) of the score map —
-    the closed form of the reference's per-layer bookkeeping."""
-    r, j = 1, 1
-    for kind, k, s, _ in plan:
+def receptive_field(plan=_VGG_PLAN) -> Tuple[int, int, float]:
+    """(extent r, jump j, shift s) of the score map — the closed form of the
+    reference's per-layer bookkeeping (``RecConv2d:128-134``,
+    ``RecMaxPool2d:157-163``, initial (j=1, r=1, s=0) at
+    ``ReceptiveNet:227``). Conv layers pad (k-1)//2, pools pad 0."""
+    r, j, s = 1, 1, 0.0
+    for kind, k, st, _ in plan:
+        pad = (k - 1) // 2 if kind == "conv" else 0
         r = r + (k - 1) * j
-        j = j * s
-    return r, j
+        s = s + ((k - 1) / 2 - pad) * j
+        j = j * st
+    return r, j, s
+
+
+def kernel_size_to_std(k: int) -> float:
+    """Reference ``FCDD_BaseNet.py:13-15``."""
+    return float(np.log10(0.45 * k + 1) + 0.25) if k < 32 else 10.0
 
 
 def gkern(k: int, std: float | None = None) -> jnp.ndarray:
-    """2D Gaussian kernel (reference ``FCDD_BaseNet.py:17``)."""
+    """2D Gaussian kernel, reference-faithful (``FCDD_BaseNet.py:17-32``):
+    peak-1 (unnormalized); even sizes duplicate the center sample of the
+    (k-1)-point window and halve."""
     if std is None:
-        std = float(k) / 8.0  # scipy.signal.gaussian default-ish choice in ref
-    x = np.arange(k, dtype=np.float64) - (k - 1) / 2.0
+        std = kernel_size_to_std(k)
+    n = k - 1 if k % 2 == 0 else k
+    x = np.arange(n, dtype=np.float64) - (n - 1) / 2.0
     g = np.exp(-0.5 * (x / std) ** 2)
+    if k % 2 == 0:
+        g = np.insert(g, (k - 1) // 2, g[(k - 1) // 2]) / 2.0
     k2 = np.outer(g, g)
-    return jnp.asarray(k2 / k2.sum(), dtype=jnp.float32)
+    return jnp.asarray(k2, dtype=jnp.float32)
 
 
 def receptive_upsample(
@@ -62,30 +76,27 @@ def receptive_upsample(
     out_hw: Tuple[int, int],
     r: int | None = None,
     j: int | None = None,
+    s: float | None = None,
     std: float | None = None,
 ) -> jax.Array:
     """Upsample a (B, h, w, 1) low-res score map to input resolution by
-    spreading each score over its receptive field with a Gaussian kernel
-    (transposed conv, stride = cumulative stride), normalized by the
-    overlap count (reference ``receptive_upsample:62-110``)."""
-    if r is None or j is None:
-        r, j = receptive_field()
+    spreading each score over its receptive field with a Gaussian kernel.
+
+    Numerically equivalent to the reference's
+    ``ReceptiveModule.receptive_upsample`` (``FCDD_BaseNet.py:62-100``):
+    unnormalized Gaussian (std from ``kernel_size_to_std``), transposed conv
+    with stride = jump, crop offset ``(r-1)//2 - int(s)`` so receptive-field
+    centers align with the input grid. The reference's ``output_padding``
+    only ever appends rows/cols beyond the crop window, so a VALID
+    transposed conv + crop reproduces it exactly."""
+    if r is None or j is None or s is None:
+        r, j, s = receptive_field()
     kern = gkern(r, std).reshape(r, r, 1, 1)
-
-    def tconv(x):
-        # VALID transposed conv = full span (in-1)*j + r, each score spread
-        # over its whole receptive field
-        return jax.lax.conv_transpose(
-            x, kern, strides=(j, j), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-
-    up = tconv(scores.astype(jnp.float32))
-    norm = tconv(jnp.ones_like(scores, dtype=jnp.float32))
-    up = up / jnp.maximum(norm, 1e-8)
-    # score i's receptive field is centered at input coord i*j + (j-1)/2 for
-    # the SAME-padded conv stack; crop so centers align with the input grid
-    off = max(0, (r - j) // 2)
+    up = jax.lax.conv_transpose(
+        scores.astype(jnp.float32), kern, strides=(j, j), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    off = (r - 1) // 2 - int(s)
     return up[:, off : off + out_hw[0], off : off + out_hw[1], :]
 
 

@@ -63,6 +63,45 @@ def normalize_p_dropout(p_dropout: Union[float, Sequence[float]], depth: int) ->
     return p
 
 
+class FlatGroupNorm(nn.Module):
+    """GroupNorm without the channel reshape.
+
+    ``nn.GroupNorm`` reshapes (..., C) -> (..., g, C/g) to reduce — on TPU
+    that splits the 128-wide lane dimension and forces relayouts around
+    every norm. Here statistics come from plain reductions: per-channel
+    spatial mean / mean-of-squares (one fused pass), then a tiny (B, C)
+    group aggregation, then one broadcast-normalize pass the compiler can
+    fuse with the next op. Parameter names/shapes match ``nn.GroupNorm``
+    (scale/bias of (C,)), and outputs agree to f32 tolerance
+    (``tests/test_model_zoo.py``)."""
+
+    num_groups: int
+    epsilon: float = 1e-6  # nn.GroupNorm default
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, (c, g)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        red = tuple(range(1, x.ndim - 1))  # spatial axes
+        xf = x.astype(jnp.float32)
+        ch_mean = jnp.mean(xf, axis=red)  # (B, C)
+        ch_sq = jnp.mean(jnp.square(xf), axis=red)
+        gm = jnp.mean(ch_mean.reshape(-1, g, c // g), axis=-1)  # (B, g)
+        gs = jnp.mean(ch_sq.reshape(-1, g, c // g), axis=-1)
+        var = gs - jnp.square(gm)
+        # broadcast group stats back to channels (tiny, (B, g) -> (B, C))
+        mu_c = jnp.repeat(gm, c // g, axis=-1)
+        rs_c = jnp.repeat(jax.lax.rsqrt(var + self.epsilon), c // g, axis=-1)
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+        y = (xf - mu_c.reshape(shape)) * rs_c.reshape(shape)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
 class Norm(nn.Module):
     """Normalization switch: BatchNorm (reference parity) or GroupNorm (the
     principled choice for small per-device batches — SURVEY §7).
@@ -84,7 +123,7 @@ class Norm(nn.Module):
             return x
         if self.kind == "group":
             groups = max(1, x.shape[-1] // self.group_size)
-            return nn.GroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
+            return FlatGroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -124,11 +163,14 @@ class ConvBlock(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         mid = self.mid_channels or self.out_channels
         k = (self.kernel_size,) * self.ndim
+        # the norm runs in the block's compute dtype (statistics are still
+        # f32 inside flax): a f32 norm between bf16 convs would force two
+        # bf16<->f32 conversion passes per norm — pure HBM traffic
         x = self._conv(x, mid, k, "conv1")
-        x = Norm(self.norm, axis_name=self.axis_name, name="bn1")(x, train)
+        x = Norm(self.norm, axis_name=self.axis_name, dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         x = self._conv(x, self.out_channels, k, "conv2")
-        x = Norm(self.norm, axis_name=self.axis_name, name="bn2")(x, train)
+        x = Norm(self.norm, axis_name=self.axis_name, dtype=self.dtype, name="bn2")(x, train)
         x = nn.relu(x)
         if self.p_dropout > 0.0:
             x = nn.Dropout(rate=self.p_dropout, deterministic=not train)(x)
@@ -141,12 +183,44 @@ def max_pool(x: jax.Array, ndim: int) -> jax.Array:
     return nn.max_pool(x, window_shape=window, strides=window)
 
 
-def upsample_linear(x: jax.Array, ndim: int) -> jax.Array:
-    """x2 bi/trilinear upsampling of the spatial axes (channels-last)."""
-    new_shape = (
-        x.shape[:1] + tuple(2 * s for s in x.shape[1 : 1 + ndim]) + x.shape[-1:]
-    )
-    return jax.image.resize(x, new_shape, method="linear")
+def _align_corners_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_out, n_in) linear-interp matrix with the corner-aligned grid
+    (torch ``nn.Upsample(..., align_corners=True)`` convention): output i
+    samples input coordinate ``i*(n_in-1)/(n_out-1)``."""
+    import numpy as np
+
+    w = np.zeros((n_out, n_in), dtype=np.float32)
+    if n_in == 1 or n_out == 1:
+        w[:, 0] = 1.0
+        return jnp.asarray(w)
+    src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, n_in - 2)
+    frac = (src - i0).astype(np.float32)
+    rows = np.arange(n_out)
+    w[rows, i0] = 1.0 - frac
+    w[rows, i0 + 1] += frac
+    return jnp.asarray(w)
+
+
+def upsample_linear(x: jax.Array, ndim: int, align_corners: bool = True) -> jax.Array:
+    """x2 bi/trilinear upsampling of the spatial axes (channels-last).
+
+    ``align_corners=True`` (default) reproduces the reference's
+    ``nn.Upsample(scale_factor=2, mode='bi/trilinear', align_corners=True)``
+    (``UNet.py:72``, ``AE_net.py:51``) exactly — implemented as one small
+    constant interp matrix per axis applied as a matmul (MXU-friendly),
+    since ``jax.image.resize`` only offers the half-pixel convention."""
+    if not align_corners:
+        new_shape = (
+            x.shape[:1] + tuple(2 * s for s in x.shape[1 : 1 + ndim]) + x.shape[-1:]
+        )
+        return jax.image.resize(x, new_shape, method="linear")
+    dtype = x.dtype
+    for ax in range(1, 1 + ndim):
+        n_in = x.shape[ax]
+        w = _align_corners_matrix(n_in, 2 * n_in).astype(dtype)
+        x = jnp.moveaxis(jnp.tensordot(w, x, axes=[[1], [ax]]), 0, ax)
+    return x
 
 
 class UpConv(nn.Module):

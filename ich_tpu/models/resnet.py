@@ -27,10 +27,12 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9, name=name)
+        # explicit (1,1) padding: torch-symmetric windows for stride 2
+        # (XLA SAME pads (0,1) there — different alignment)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding="SAME", use_bias=False, dtype=self.dtype, name="conv1")(x)
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
-        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
         y = bn("bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.features:
@@ -53,7 +55,7 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding="SAME", use_bias=False, dtype=self.dtype, name="conv2")(y)
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = nn.relu(bn("bn2")(y))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
         y = bn("bn3")(y)
@@ -72,11 +74,13 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_features: bool = False):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
+        # torch-symmetric paddings (ResNet.py:141-145: k7 s2 p3 stem, k3 s2
+        # p1 maxpool); XLA SAME would shift stride-2 window centers by one
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
                     dtype=self.dtype, name="stem_conv")(x)
         x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  name="stem_bn")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for s, n_blocks in enumerate(self.stage_sizes):
             for b in range(n_blocks):
                 stride = 2 if s > 0 and b == 0 else 1

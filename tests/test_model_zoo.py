@@ -80,12 +80,19 @@ def test_fcdd_score_map_and_heatmap():
     assert np.isfinite(np.asarray(heat)).all()
 
 
-def test_receptive_upsample_constant():
-    """A constant score map must upsample to (approximately) that constant —
-    overlap normalization check."""
-    s = jnp.full((1, 4, 4, 1), 2.5)
-    up = receptive_upsample(s, (32, 32))
-    np.testing.assert_allclose(np.asarray(up), 2.5, atol=1e-4)
+def test_receptive_upsample_centers():
+    """A one-hot score at (p, p) spreads an unnormalized Gaussian bump whose
+    peak (value = score, the kernel peak is 1) lands at input coordinate
+    p*j + int(s) — the reference's receptive-center alignment
+    (``FCDD_BaseNet.py:86-99``; r=62, j=8, s=3.5 for the VGG stack)."""
+    s = jnp.zeros((1, 4, 4, 1)).at[0, 2, 2, 0].set(2.5)
+    up = np.asarray(receptive_upsample(s, (32, 32)))[0, :, :, 0]
+    assert up.shape == (32, 32)
+    peak = np.unravel_index(np.argmax(up), up.shape)
+    assert peak == (2 * 8 + 3, 2 * 8 + 3)
+    # even-size gkern duplicates + halves the center sample -> 2x2 plateau
+    # of (1/2)^2 = 0.25 x score (FCDD_BaseNet.py:23-28)
+    np.testing.assert_allclose(up.max(), 2.5 * 0.25, rtol=1e-5)
 
 
 def test_self_attention_identity_at_init():
@@ -152,3 +159,28 @@ def test_spectral_norm_constrains_weights():
         v = {**v, **upd}
     out1 = d.apply(v, img, mask)
     assert np.isfinite(np.asarray(out1)).all()
+
+
+def test_flat_group_norm_matches_flax():
+    """FlatGroupNorm (reshape-free statistics) == nn.GroupNorm on the same
+    params, both dtypes, 2D and 3D inputs."""
+    import flax.linen as nn
+    from ich_tpu.models.layers import FlatGroupNorm
+
+    rng = np.random.default_rng(6)
+    for shape, groups in [((2, 8, 8, 16), 2), ((2, 4, 6, 8, 32), 4), ((3, 5, 5, 8), 1)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32) * 3 + 1)
+        ref_m = nn.GroupNorm(num_groups=groups)
+        v = ref_m.init(KEY, x)
+        scale = jnp.asarray(rng.uniform(0.5, 2.0, shape[-1]).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=shape[-1]).astype(np.float32))
+        v = {"params": {"scale": scale, "bias": bias}}
+        want = ref_m.apply(v, x)
+        got = FlatGroupNorm(num_groups=groups).apply(v, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+    # bf16 in/out path returns bf16
+    xb = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32)).astype(jnp.bfloat16)
+    m = FlatGroupNorm(num_groups=2, dtype=jnp.bfloat16)
+    vb = m.init(KEY, xb)
+    out = m.apply(vb, xb)
+    assert out.dtype == jnp.bfloat16

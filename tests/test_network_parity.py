@@ -1,0 +1,342 @@
+"""Weight-ported forward-parity tests against the reference's own torch
+networks (VERDICT r2 item 1).
+
+Each test builds the reference torch module on CPU, randomizes every
+parameter AND BatchNorm running statistic (so agreement cannot come from
+default-initialized stats), ports the ``state_dict`` through
+:mod:`ich_tpu.interop.torch_port`, and asserts forward agreement of the
+flax twin on identical random inputs at f32 (<=1e-4).
+
+Reference anchors: ``UNet.py:18-435``, ``AE_net.py:13-106``,
+``ResNet.py:122-209``, ``FCDD_net.py:9-47`` + ``FCDD_BaseNet.py:62-110``,
+``InpaintingNetwork.py:88-158,296-427,469-599``.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ich_tpu.interop import torch_port
+from ich_tpu.models import (
+    AENet,
+    FCDD_CNN_VGG,
+    GatedGenerator,
+    PartialUNet,
+    UNet,
+    UNetEncoder,
+)
+from ich_tpu.models import inpainting as ich_inpaint
+from ich_tpu.models import fcdd as ich_fcdd
+from ich_tpu.models import resnet as ich_resnet
+from tests.conftest import REFERENCE_ROOT, reference_available
+
+torch = pytest.importorskip("torch")
+
+if reference_available():
+    sys.path.insert(0, REFERENCE_ROOT)
+    import src.models.networks.UNet as ref_unet  # noqa: E402
+    import src.models.networks.AE_net as ref_ae  # noqa: E402
+    import src.models.networks.ResNet as ref_resnet  # noqa: E402
+    import src.models.networks.FCDD_net as ref_fcdd  # noqa: E402
+    import src.models.networks.InpaintingNetwork as ref_inpaint  # noqa: E402
+
+needs_ref = pytest.mark.skipif(not reference_available(), reason="no reference checkout")
+
+
+def randomize_(net: "torch.nn.Module", seed: int) -> None:
+    """Fill every parameter and BN running stat with seeded random values."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in net.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+        for name, buf in net.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=g) * 0.1)
+            elif name.endswith("running_var"):
+                buf.copy_(0.5 + torch.rand(buf.shape, generator=g))
+
+
+def numpy_sd(net) -> dict:
+    return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+
+
+def _paths(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict) or hasattr(v, "items"):
+            out.update(_paths(v, p))
+        else:
+            out[p] = tuple(np.shape(v))
+    return out
+
+
+def assert_tree_matches(module, ported, *example_args, **kw):
+    """The ported tree must have exactly the params/stats the flax module
+    initializes (same paths, same shapes) — catches silent misports."""
+    init = module.init(jax.random.PRNGKey(0), *example_args, **kw)
+    for col in ("params", "batch_stats"):
+        want = _paths(init.get(col, {}))
+        got = _paths(ported.get(col, {}))
+        assert want == got, (
+            f"{col} mismatch:\nmissing={sorted(set(want) - set(got))}\n"
+            f"extra={sorted(set(got) - set(want))}\n"
+            f"shape-diff={[(k, want[k], got[k]) for k in set(want) & set(got) if want[k] != got[k]]}"
+        )
+
+
+def to_nhwc(t: "torch.Tensor") -> np.ndarray:
+    x = t.detach().cpu().numpy()
+    perm = (0, 2, 3, 1) if x.ndim == 4 else (0, 2, 3, 4, 1)
+    return np.transpose(x, perm)
+
+
+def rand_input(shape, seed=0):
+    """(torch NCHW tensor, jnp channels-last array) with identical values."""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=shape).astype(np.float32)
+    perm = (0, 2, 3, 1) if x.ndim == 4 else (0, 2, 3, 4, 1)
+    return torch.from_numpy(x), jnp.asarray(np.transpose(x, perm))
+
+
+def check(ref_out, got, rtol=1e-4, atol=1e-4):
+    np.testing.assert_allclose(np.asarray(got), ref_out, rtol=rtol, atol=atol)
+
+
+# ---------------------------------------------------------------- U-Net
+
+
+@needs_ref
+@pytest.mark.parametrize(
+    "depth,bilinear,mid,use_3D",
+    [(3, False, 2, False), (4, True, 2, False), (3, False, 1, False), (3, False, 2, True)],
+    ids=["d3-convT", "d4-bilinear", "d3-mid1", "d3-3D"],
+)
+def test_unet_forward_parity(depth, bilinear, mid, use_3D):
+    tnet = ref_unet.UNet(
+        depth=depth, use_3D=use_3D, bilinear=bilinear, in_channels=1,
+        out_channels=1, top_filter=8, midchannels_factor=mid, p_dropout=0.0,
+    ).eval()
+    randomize_(tnet, seed=11 + depth)
+    shape = (2, 1, 16, 16, 16) if use_3D else (2, 1, 32, 32)
+    xt, xj = rand_input(shape, seed=1)
+    with torch.no_grad():
+        ref = to_nhwc(tnet(xt))
+    net = UNet(depth=depth, ndim=3 if use_3D else 2, bilinear=bilinear,
+               top_filter=8, midchannels_factor=mid, p_dropout=0.0)
+    v = torch_port.port_unet(numpy_sd(tnet), bilinear=bilinear)
+    assert_tree_matches(net, v, xj, train=False)
+    check(ref, net.apply(v, xj, train=False))
+
+
+@needs_ref
+def test_unet_bottleneck_parity():
+    tnet = ref_unet.UNet(depth=3, top_filter=8, p_dropout=0.0).eval()
+    tnet.return_bottleneck = True
+    randomize_(tnet, seed=5)
+    xt, xj = rand_input((1, 1, 32, 32), seed=2)
+    with torch.no_grad():
+        ref_out, ref_bott = tnet(xt)
+    net = UNet(depth=3, top_filter=8, p_dropout=0.0)
+    v = torch_port.port_unet(numpy_sd(tnet))
+    out, bott = net.apply(v, xj, train=False, return_bottleneck=True)
+    check(to_nhwc(ref_out), out)
+    check(to_nhwc(ref_bott), bott)
+
+
+@needs_ref
+def test_unet_encoder_forward_parity():
+    tnet = ref_unet.UNet_Encoder(
+        depth=3, in_channels=1, MLP_head=[16, 8], top_filter=8, p_dropout=0.0
+    ).eval()
+    randomize_(tnet, seed=7)
+    xt, xj = rand_input((2, 1, 32, 32), seed=3)
+    with torch.no_grad():
+        ref = tnet(xt).numpy()
+    net = UNetEncoder(depth=3, mlp_head=(16, 8), top_filter=8, p_dropout=0.0)
+    v = torch_port.port_unet_encoder(numpy_sd(tnet))
+    assert_tree_matches(net, v, xj, train=False)
+    check(ref, net.apply(v, xj, train=False))
+
+
+@needs_ref
+def test_partial_unet_forward_parity():
+    tnet = ref_unet.Partial_UNet(
+        depth=4, n_decoder=2, in_channels=1, head_channel=[16, 8],
+        top_filter=8, p_dropout=0.0,
+    ).eval()
+    randomize_(tnet, seed=13)
+    xt, xj = rand_input((2, 1, 32, 32), seed=4)
+    with torch.no_grad():
+        ref = to_nhwc(tnet(xt))
+    net = PartialUNet(depth=4, n_decoder=2, head_channel=(16, 8), top_filter=8, p_dropout=0.0)
+    v = torch_port.port_partial_unet(numpy_sd(tnet))
+    assert_tree_matches(net, v, xj, train=False)
+    check(ref, net.apply(v, xj, train=False))
+
+
+# ---------------------------------------------------------------- AE
+
+
+@needs_ref
+@pytest.mark.parametrize("bilinear", [False, True], ids=["convT", "bilinear"])
+def test_ae_forward_parity(bilinear):
+    tnet = ref_ae.AE_net(
+        in_channels=1, latent_channels=8, bottelneck_channels=8, n_conv=3,
+        bilinear=bilinear, kernel_size=5,
+    ).eval()
+    randomize_(tnet, seed=17)
+    xt, xj = rand_input((2, 1, 64, 64), seed=5)
+    with torch.no_grad():
+        ref = to_nhwc(tnet(xt))
+    net = AENet(latent_channels=8, bottleneck_channels=8, n_conv=3,
+                bilinear=bilinear, kernel_size=5)
+    v = torch_port.port_ae(numpy_sd(tnet), bilinear=bilinear)
+    assert_tree_matches(net, v, xj, train=False)
+    check(ref, net.apply(v, xj, train=False))
+
+
+# ---------------------------------------------------------------- ResNet
+
+
+@needs_ref
+@pytest.mark.parametrize(
+    "factory,ich_factory,stages",
+    [
+        ("ResNet18", ich_resnet.resnet18, (2, 2, 2, 2)),
+        ("ResNet50", ich_resnet.resnet50, (3, 4, 6, 3)),
+    ],
+)
+def test_resnet_forward_parity(factory, ich_factory, stages):
+    tnet = getattr(ref_resnet, factory)(num_classes=4, input_channels=1).eval()
+    randomize_(tnet, seed=19)
+    xt, xj = rand_input((2, 1, 64, 64), seed=6)
+    with torch.no_grad():
+        ref = tnet(xt).numpy()
+    net = ich_factory(num_classes=4)
+    v = torch_port.port_resnet(numpy_sd(tnet), stages)
+    assert_tree_matches(net, v, xj, train=False)
+    check(ref, net.apply(v, xj, train=False), atol=5e-4)
+
+
+# ---------------------------------------------------------------- FCDD
+
+
+@needs_ref
+def test_fcdd_forward_parity():
+    tnet = ref_fcdd.FCDD_CNN_VGG(in_shape=(1, 64, 64), bias=True).eval()
+    randomize_(tnet, seed=23)
+    xt, xj = rand_input((2, 1, 64, 64), seed=7)
+    with torch.no_grad():
+        ref_scores = to_nhwc(tnet(xt, ad=True))
+        ref_feats = to_nhwc(tnet(xt, ad=False))
+    net = FCDD_CNN_VGG()
+    v = torch_port.port_fcdd(numpy_sd(tnet))
+    assert_tree_matches(net, v, xj, train=False)
+    check(ref_scores, net.apply(v, xj, train=False, ad=True), atol=5e-4)
+    check(ref_feats, net.apply(v, xj, train=False, ad=False), atol=5e-4)
+
+
+@needs_ref
+def test_fcdd_receptive_upsample_parity():
+    """ich receptive_upsample == the reference's Gaussian receptive
+    upsampling (r=62, j=8, s=3.5 for the VGG stack)."""
+    import scipy.signal
+
+    if not hasattr(scipy.signal, "gaussian"):
+        # the reference targets legacy scipy; the window fn moved in 1.x
+        scipy.signal.gaussian = scipy.signal.windows.gaussian
+    tnet = ref_fcdd.FCDD_CNN_VGG(in_shape=(1, 64, 64), bias=True).eval()
+    rec = tnet.reception
+    assert (rec["r"], rec["j"], rec["s"]) == (62, 8, 3.5)
+    assert ich_fcdd.receptive_field() == (62, 8, 3.5)
+    rng = np.random.default_rng(8)
+    scores = rng.uniform(0, 2, size=(2, 1, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref = to_nhwc(tnet.receptive_upsample(torch.from_numpy(scores), std=None))
+    got = ich_fcdd.receptive_upsample(
+        jnp.asarray(np.transpose(scores, (0, 2, 3, 1))), (64, 64)
+    )
+    check(ref, got, atol=1e-5)
+
+
+# ---------------------------------------------------------------- inpainting
+
+
+@needs_ref
+def test_gated_conv_forward_parity():
+    tl = ref_inpaint.GatedConv2d(
+        4, 8, 3, stride=2, padding=1, padding_mode="reflect",
+        activation="lrelu", batch_norm=True,
+    ).eval()
+    randomize_(tl, seed=29)
+    xt, xj = rand_input((2, 4, 16, 16), seed=9)
+    with torch.no_grad():
+        ref = to_nhwc(tl(xt))
+    m = ich_inpaint.GatedConv2d(features=8, kernel_size=3, stride=2,
+                                padding=1, activation="lrelu", batch_norm=True)
+    b = torch_port._Builder({f"g.{k}": v for k, v in numpy_sd(tl).items()})
+    torch_port._gated_conv(b, "g", "layer")
+    v = {"params": b.params["layer"], "batch_stats": b.stats["layer"]}
+    assert_tree_matches(m, v, xj, train=False)
+    check(ref, m.apply(v, xj, train=False))
+
+
+@needs_ref
+def test_contextual_attention_parity():
+    """Param-free module: the batched einsum reformulation must equal the
+    reference's per-sample loop (InpaintingNetwork.py:350-427)."""
+    tm = ref_inpaint.ContextualAttention(
+        kernel_size=3, patch_stride=1, compression_rate=1, softmax_scale=10,
+        fuse=False, device="cpu",
+    )
+    rng = np.random.default_rng(10)
+    fg = rng.normal(size=(2, 4, 16, 16)).astype(np.float32)
+    bg = rng.normal(size=(2, 4, 16, 16)).astype(np.float32)
+    mask = (rng.uniform(size=(2, 1, 16, 16)) > 0.6).astype(np.float32)
+    with torch.no_grad():
+        ref = to_nhwc(tm(torch.from_numpy(fg), torch.from_numpy(bg),
+                         mask=torch.from_numpy(mask)))
+    m = ich_inpaint.ContextualAttention(
+        kernel_size=3, patch_stride=1, compression_rate=1, softmax_scale=10.0,
+        fuse=False,
+    )
+    got = m.apply(
+        {}, jnp.asarray(fg.transpose(0, 2, 3, 1)),
+        jnp.asarray(bg.transpose(0, 2, 3, 1)),
+        mask=jnp.asarray(mask.transpose(0, 2, 3, 1)),
+    )
+    check(ref, got, atol=5e-5)
+
+
+@needs_ref
+def test_gated_generator_forward_parity():
+    tnet = ref_inpaint.GatedGenerator(
+        in_channels=2, out_channels=1, lat_channels=8, activation="relu",
+        norm=True, padding_mode="reflect", context_attention=True,
+        return_coarse=True,
+        context_attention_kwargs=dict(
+            kernel_size=3, patch_stride=1, compression_rate=1,
+            softmax_scale=10, fuse=False, fuse_kernel=3, device="cpu",
+        ),
+    ).eval()
+    randomize_(tnet, seed=31)
+    # >=128^2: the dilation-16 reflect pad needs feature maps wider than 16
+    rng = np.random.default_rng(11)
+    img = rng.uniform(size=(1, 1, 128, 128)).astype(np.float32)
+    mask = np.zeros((1, 1, 128, 128), dtype=np.float32)
+    mask[:, :, 32:80, 40:88] = 1.0
+    with torch.no_grad():
+        ref_fine, ref_coarse = tnet(torch.from_numpy(img), torch.from_numpy(mask))
+    net = GatedGenerator(out_channels=1, lat_channels=8, activation="relu",
+                         norm=True, context_attention=True, return_coarse=True)
+    v = torch_port.port_gated_generator(numpy_sd(tnet), context_attention=True)
+    imgj = jnp.asarray(img.transpose(0, 2, 3, 1))
+    maskj = jnp.asarray(mask.transpose(0, 2, 3, 1))
+    assert_tree_matches(net, v, imgj, maskj, train=False)
+    fine, coarse = net.apply(v, imgj, maskj, train=False)
+    check(to_nhwc(ref_coarse), coarse, atol=2e-4)
+    check(to_nhwc(ref_fine), fine, atol=2e-4)
