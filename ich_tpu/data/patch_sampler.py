@@ -18,6 +18,8 @@ chosen positive voxel, start clipped into bounds):
 - the positive-voxel table is capped at ``max_pos`` per volume by uniform
   subsampling (a uniform draw from a uniform subsample is still uniform);
 - masks are stored uint8 on device (4x smaller) and cast after the gather.
+  Masks are therefore REQUIRED to be binary ({0, >0} -> {0, 1}); graded or
+  multi-label masks must use the host sampler (asserted at construction).
 """
 
 from __future__ import annotations
@@ -72,7 +74,15 @@ class DevicePatchSampler:
         for i, (v, m) in enumerate(zip(dataset.volumes, dataset.masks)):
             d, h, w = v.shape
             vols[i, :d, :h, :w] = v
-            msks[i, :d, :h, :w] = (np.asarray(m) > 0).astype(np.uint8)
+            m = np.asarray(m)
+            uniq = np.unique(m)
+            if not np.isin(uniq, (0, 1)).all():
+                raise ValueError(
+                    "DevicePatchSampler requires binary masks (got values "
+                    f"{uniq[:8]}); graded/multi-label masks must use the "
+                    "host sampler (sample_patches)."
+                )
+            msks[i, :d, :h, :w] = (m > 0).astype(np.uint8)
             pos = np.stack(np.nonzero(msks[i]), axis=1).astype(np.int32)
             if len(pos) > max_pos:
                 pos = pos[rng.choice(len(pos), max_pos, replace=False)]
@@ -118,8 +128,9 @@ def _sample_batch(vols, msks, dims, pos_tab, pos_cnt, key, batch_size, patch,
         j = jax.random.randint(kp, (), 0, jnp.maximum(cnt, 1))
         center = pos_tab[vi, j]
         start_pos = jnp.clip(center - half, 0, lim)
-        u = jax.random.uniform(ku, (3,))
-        start_uni = (u * (lim + 1).astype(jnp.float32)).astype(jnp.int32)
+        # exact integer draw (per-axis array bounds) — a float32 u*(lim+1)
+        # can round up to lim+1 and bias short volumes into their padding
+        start_uni = jax.random.randint(ku, (3,), 0, lim + 1)
         start = jnp.where(use_pos, start_pos, start_uni)
         img = jax.lax.dynamic_slice(
             vols, (vi, start[0], start[1], start[2]), (1, pd, ph, pw)

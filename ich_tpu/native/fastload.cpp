@@ -128,10 +128,14 @@ int64_t validate_payload(const NiftiHeader& h, size_t buf_size, size_t& off_out)
     }
     int64_t esize = datatype_size(h.datatype);
     if (esize == 0) return -6;
-    // vox_offset is stored as float: must be finite and >= 352 (the single
-    // -file .nii minimum: 348-byte header + 4 extension-flag bytes)
-    if (!std::isfinite(h.vox_offset) || !(h.vox_offset >= 352.0f) ||
-        h.vox_offset > 9.0e15f)
+    // vox_offset is stored as float: must be finite and >= 348. The spec
+    // minimum for single-file .nii is 352 (348-byte header + 4 extension
+    // -flag bytes), but some legacy writers emit exactly 348 for extension
+    // -less files (data abuts the header, no flag bytes) — accept that;
+    // values strictly inside (348, 352) would start the payload mid-flag
+    // and stay rejected.
+    if (!std::isfinite(h.vox_offset) || h.vox_offset > 9.0e15f ||
+        !(h.vox_offset == 348.0f || h.vox_offset >= 352.0f))
         return -5;
     size_t off = (size_t)h.vox_offset;
     if (buf_size < off || (buf_size - off) < (uint64_t)n * (uint64_t)esize) return -5;

@@ -65,6 +65,31 @@ def load_checkpoint(path: str, state_template: Any) -> Optional[Tuple[Any, int, 
     return state, int(payload["epoch"]), json.loads(payload["history_json"])
 
 
+def is_sharded_path(path: str) -> bool:
+    """Checkpoint paths ending in a path separator opt into the orbax
+    sharded directory store (multi-host path); plain file paths use the
+    single-file msgpack store."""
+    return path.endswith("/") or path.endswith(os.sep)
+
+
+def save_checkpoint_auto(path: str, state: Any, epoch: int, history: list) -> None:
+    """Dispatch to the sharded (orbax, ``path/``) or single-file store."""
+    if is_sharded_path(path):
+        from ich_tpu.train import checkpoint_orbax
+
+        checkpoint_orbax.save_checkpoint_sharded(path, state, epoch, history)
+    else:
+        save_checkpoint(path, state, epoch, history)
+
+
+def load_checkpoint_auto(path: str, state_template: Any) -> Optional[Tuple[Any, int, list]]:
+    if is_sharded_path(path):
+        from ich_tpu.train import checkpoint_orbax
+
+        return checkpoint_orbax.load_checkpoint_sharded(path, state_template)
+    return load_checkpoint(path, state_template)
+
+
 def save_params(path: str, params: Any) -> None:
     """Bare weights export (reference ``save_model``)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

@@ -60,7 +60,13 @@ def save_checkpoint_sharded(path: str, state: Any, epoch: int, history: list) ->
     if os.path.exists(new_dir) and jax.process_index() == 0:
         import shutil
 
-        shutil.rmtree(new_dir)  # leftover from an interrupted save
+        if not os.path.exists(state_dir):
+            # crash landed between rmtree(state) and the swap: state.new is
+            # the ONLY complete checkpoint — promote it instead of deleting
+            # (otherwise a crash during this save would lose everything)
+            os.replace(new_dir, state_dir)
+        else:
+            shutil.rmtree(new_dir)  # leftover from an interrupted save
     _barrier()
     ckptr.save(new_dir, state)
     ckptr.wait_until_finished()

@@ -224,7 +224,7 @@ class SNPatchGAN:
 
         n_done, history = 0, []
         if checkpoint_path:
-            restored = ckpt.load_checkpoint(checkpoint_path, self.state)
+            restored = ckpt.load_checkpoint_auto(checkpoint_path, self.state)
             if restored is not None:
                 self.state, n_done, history = restored
                 logger.info("Checkpoint loaded with %d epoch finished.", n_done)
@@ -257,7 +257,7 @@ class SNPatchGAN:
             if valid_dataset is not None and (epoch + 1) % valid_freq == 0:
                 self.validate(valid_dataset, save_path=valid_path, epoch=epoch + 1)
             if checkpoint_path and (epoch + 1) % self.checkpoint_freq == 0:
-                ckpt.save_checkpoint(checkpoint_path, self.state, epoch + 1, history)
+                ckpt.save_checkpoint_auto(checkpoint_path, self.state, epoch + 1, history)
                 logger.info("\tCheckpoint saved.")
         self.outputs["train"]["time"] = time.time() - start
         self.outputs["train"]["evolution"] = history

@@ -38,7 +38,7 @@ def fit(
     """
     n_epoch_finished, history = 0, []
     if checkpoint_path:
-        restored = ckpt.load_checkpoint(checkpoint_path, state)
+        restored = ckpt.load_checkpoint_auto(checkpoint_path, state)
         if restored is not None:
             state, n_epoch_finished, history = restored
             logger.info("Checkpoint loaded with %d epoch finished.", n_epoch_finished)
@@ -72,11 +72,11 @@ def fit(
         )
         history.append([epoch + 1, mean_loss] + list(extra))
         if checkpoint_path and (epoch + 1) % checkpoint_freq == 0:
-            ckpt.save_checkpoint(checkpoint_path, state, epoch + 1, history)
+            ckpt.save_checkpoint_auto(checkpoint_path, state, epoch + 1, history)
             logger.info("\tCheckpoint saved.")
         if preemption.requested():
             if checkpoint_path:
-                ckpt.save_checkpoint(checkpoint_path, state, epoch + 1, history)
+                ckpt.save_checkpoint_auto(checkpoint_path, state, epoch + 1, history)
             logger.warning(
                 "Preemption requested: checkpointed after epoch %d, stopping.",
                 epoch + 1,

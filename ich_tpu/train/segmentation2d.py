@@ -221,7 +221,7 @@ class UNet2D:
 
         n_epoch_finished, history = 0, []
         if checkpoint_path:
-            restored = ckpt.load_checkpoint(checkpoint_path, self.state)
+            restored = ckpt.load_checkpoint_auto(checkpoint_path, self.state)
             if restored is not None:
                 self.state, n_epoch_finished, history = restored
                 logger.info("Checkpoint loaded with %d epoch finished.", n_epoch_finished)
@@ -291,13 +291,13 @@ class UNet2D:
             )
             history.append([epoch + 1, mean_loss, v_all, v_pos])
             if checkpoint_path and (epoch + 1) % self.checkpoint_freq == 0:
-                ckpt.save_checkpoint(checkpoint_path, self.state, epoch + 1, history)
+                ckpt.save_checkpoint_auto(checkpoint_path, self.state, epoch + 1, history)
                 logger.info("\tCheckpoint saved.")
             from ich_tpu.utils import preemption
 
             if preemption.requested():
                 if checkpoint_path:
-                    ckpt.save_checkpoint(checkpoint_path, self.state, epoch + 1, history)
+                    ckpt.save_checkpoint_auto(checkpoint_path, self.state, epoch + 1, history)
                 logger.warning("Preemption: checkpointed after epoch %d.", epoch + 1)
                 break
 

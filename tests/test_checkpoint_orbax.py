@@ -66,3 +66,40 @@ def test_same_epoch_rewrite_allowed(tmp_path):
     restored, epoch, history = cko.load_checkpoint_sharded(path, state)
     np.testing.assert_array_equal(np.asarray(restored["w"]), np.ones(4))
     assert history == [[1, 1.0]]
+
+
+@pytest.mark.slow
+def test_orbax_resume_through_unet2d_train(tmp_path):
+    """VERDICT r3 item 5: trailing-slash checkpoint_path routes UNet2D.train
+    through the orbax sharded store on a real mesh; a mid-training resume
+    continues with bit-identical per-epoch losses vs an uninterrupted run
+    (reference resume semantics: UNet2D.py:109-121,169-176)."""
+    from ich_tpu.data import synthetic_ich_slices
+    from ich_tpu.models import UNet
+    from ich_tpu.train.segmentation2d import UNet2D
+
+    mesh = _mesh()
+    data = synthetic_ich_slices(n_slices=32, size=32, n_volumes=4, seed=3)
+    kw = dict(
+        n_epoch=4, batch_size=8, lr=5e-3, lr_scheduler="ExponentialLR",
+        lr_scheduler_kwargs={"gamma": 0.96}, loss_fn="BinaryDiceLoss",
+        loss_fn_kwargs={"reduction": "mean", "p": 2, "alpha": 1.0},
+        weight_decay=1e-6, seed=0, mesh=mesh, checkpoint_freq=1,
+    )
+    net = lambda: UNet(depth=3, top_filter=8, p_dropout=0.0, norm="batch")
+
+    ref = UNet2D(net(), **kw)
+    ref.train(data)
+    ref_losses = [h[1] for h in ref.outputs["train"]["evolution"]]
+
+    path = str(tmp_path / "ck") + "/"  # trailing slash -> orbax dir store
+    t1 = UNet2D(net(), **{**kw, "n_epoch": 2})
+    t1.train(data, checkpoint_path=path)
+    assert (tmp_path / "ck" / "state").is_dir()  # the sharded store was used
+    assert (tmp_path / "ck" / "meta.json").exists()
+
+    t2 = UNet2D(net(), **kw)
+    t2.train(data, checkpoint_path=path)
+    losses2 = [h[1] for h in t2.outputs["train"]["evolution"]]
+    assert len(losses2) == 4
+    np.testing.assert_array_equal(np.asarray(losses2), np.asarray(ref_losses))

@@ -96,15 +96,24 @@ def test_native_rejects_overflowing_dims(tmp_path):
         native.load_nifti_f32(fn)
 
 
-def test_native_rejects_vox_offset_in_extension_bytes(tmp_path):
-    """vox_offset=348 would read the 4 extension-flag bytes as voxels; the
-    single-file minimum is 352."""
-    fn = str(tmp_path / "ext.nii")
+def test_native_vox_offset_348_legacy_accepted_mid_flag_rejected(tmp_path):
+    """Legacy extension-less writers emit vox_offset=348 (data abuts the
+    header) — accepted (ADVICE r2). Offsets strictly inside (348, 352)
+    would start the payload mid-extension-flag and stay rejected."""
+    fn = str(tmp_path / "legacy.nii")
     with open(fn, "wb") as f:
         f.write(_raw_nifti((2, 2), datatype=2, bitpix=8,
-                           vox_offset=348.0, payload=b"\x01" * 64))
+                           vox_offset=348.0, payload=b"\x07" * 64))
+    vol, _ = native.load_nifti_f32(fn)
+    assert vol.shape == (2, 2)
+    np.testing.assert_array_equal(vol, np.full((2, 2), 7.0, np.float32))
+
+    fn2 = str(tmp_path / "midflag.nii")
+    with open(fn2, "wb") as f:
+        f.write(_raw_nifti((2, 2), datatype=2, bitpix=8,
+                           vox_offset=350.0, payload=b"\x01" * 64))
     with pytest.raises(IOError):
-        native.load_nifti_f32(fn)
+        native.load_nifti_f32(fn2)
 
 
 def test_native_float64_roundtrip(tmp_path):
