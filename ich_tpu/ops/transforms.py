@@ -58,13 +58,25 @@ class AffineTransform(Transform):
     def affine_params(self, key, batch: int, hw: Tuple[int, int]):
         raise NotImplementedError
 
+    def rotation_bound_deg(self) -> float:
+        """Static upper bound on |rotation| this transform can introduce —
+        lets callers prove the composed map is far from vertical and route
+        order-0 mask warps to the MXU matmul path (see
+        :func:`ich_tpu.ops.warp.mask_warp_method`)."""
+        return 0.0
+
     def __call__(self, key, image, mask=None):
+        from ich_tpu.ops.warp import mask_warp_method
+
         image, sq = _ensure_batched(image)
         m, o = self.affine_params(key, image.shape[0], image.shape[1:3])
         out = affine_warp(image, m, o, order=1)
         if mask is not None:
             mask_b, _ = _ensure_batched(mask)
-            mask_out = affine_warp(mask_b, m, o, order=0)
+            mask_out = affine_warp(
+                mask_b, m, o, order=0,
+                method=mask_warp_method(self.rotation_bound_deg()),
+            )
             mask_out = mask_out if not sq else mask_out[0]
             return (out[0] if sq else out), mask_out
         return out[0] if sq else out
@@ -96,6 +108,9 @@ class Rotate(AffineTransform):
 
     def __init__(self, low: float = -10.0, high: float = 10.0):
         self.low, self.high = low, high
+
+    def rotation_bound_deg(self) -> float:
+        return max(abs(self.low), abs(self.high))
 
     def affine_params(self, key, batch, hw):
         ang = jax.random.uniform(key, (batch,), minval=self.low, maxval=self.high)
@@ -595,6 +610,8 @@ class Compose(Transform):
         has_mask = mask is not None
         for kind, seg in segments:
             if kind == "affine":
+                from ich_tpu.ops.warp import mask_warp_method
+
                 img_b, sq = _ensure_batched(image)
                 b, hw = img_b.shape[0], img_b.shape[1:3]
                 m, o = identity_affine(b)
@@ -606,8 +623,11 @@ class Compose(Transform):
                 if sq:
                     image = image[0]
                 if has_mask:
+                    bound = sum(t.rotation_bound_deg() for t in seg)
                     mask_b, msq = _ensure_batched(mask)
-                    mask = affine_warp(mask_b, m, o, order=0)
+                    mask = affine_warp(
+                        mask_b, m, o, order=0, method=mask_warp_method(bound)
+                    )
                     if msq:
                         mask = mask[0]
             else:

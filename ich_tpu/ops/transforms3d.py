@@ -20,7 +20,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ich_tpu.ops.warp import affine_warp
+from ich_tpu.ops.warp import compose_affine, inplane_warp_matmul
 from ich_tpu.utils.config import TRANSFORMS
 
 
@@ -49,37 +49,66 @@ class Flip3D:
         return f"Flip3D(p={self.p}, axes={list(self.axes)})"
 
 
+def _rotation_affine(key, batch: int, low: float, high: float):
+    ang = jax.random.uniform(key, (batch,), minval=low, maxval=high)
+    th = jnp.deg2rad(ang)
+    c, s = jnp.cos(th), jnp.sin(th)
+    m = jnp.stack([jnp.stack([c, s], 1), jnp.stack([-s, c], 1)], 1)
+    return m, jnp.zeros((batch, 2))
+
+
 class RotateInPlane:
     """Random (H, W)-plane rotation of a volume batch: one angle per
     sample, identical across depth (the anatomically sensible 3D analog of
-    the reference's 2D Rotate). Depth folds into the batch so the whole
-    volume rotates in a single affine warp."""
+    the reference's 2D Rotate). Depth rides the matmul N dimension of the
+    two-pass warp (:func:`inplane_warp_matmul`) — D× smaller weight
+    tensors than per-slab warping, real MXU matmuls."""
 
     def __init__(self, low: float = -10.0, high: float = 10.0):
         self.low, self.high = low, high
 
-    def _warp(self, x, ang, order):
-        # x: (B, D, H, W) -> fold depth into batch, one angle per sample
-        b, d, h, w = x.shape[:4]
-        had_c = x.ndim == 5
-        flat = x.reshape((b * d,) + x.shape[2:])
-        th = jnp.deg2rad(jnp.repeat(ang, d))
-        c, s = jnp.cos(th), jnp.sin(th)
-        m = jnp.stack([jnp.stack([c, s], 1), jnp.stack([-s, c], 1)], 1)
-        o = jnp.zeros((b * d, 2))
-        out = affine_warp(flat, m, o, order=order)
-        return out.reshape(x.shape)
-
     def __call__(self, key, image, mask=None):
         b = image.shape[0]
-        ang = jax.random.uniform(key, (b,), minval=self.low, maxval=self.high)
-        out = self._warp(image, ang, order=1)
+        m, o = _rotation_affine(key, b, self.low, self.high)
+        out = inplane_warp_matmul(image, m, o, order=1)
         if mask is not None:
-            return out, self._warp(mask, ang, order=0)
+            return out, inplane_warp_matmul(mask, m, o, order=0)
         return out
 
     def __str__(self):
         return f"RotateInPlane(low={self.low}, high={self.high})"
+
+
+class AffineAugment3D:
+    """In-plane rotation + H/W flips fused into ONE two-pass warp per batch
+    (image order 1, mask order 0 hard one-hot): replaces the
+    Rotate→Flip chain's three full-volume memory passes with a single pair
+    of batched matmuls over depth."""
+
+    def __init__(self, rotate: Tuple[float, float] = (-10.0, 10.0),
+                 p_flip: float = 0.5, flip_h: bool = True, flip_w: bool = True):
+        self.rotate = (float(rotate[0]), float(rotate[1]))
+        self.p_flip = p_flip
+        self.flip_h, self.flip_w = flip_h, flip_w
+
+    def __call__(self, key, image, mask=None):
+        b = image.shape[0]
+        kr, kh, kw = jax.random.split(key, 3)
+        m, o = _rotation_affine(kr, b, *self.rotate)
+        one = jnp.ones((b,))
+        zero = jnp.zeros((b,))
+        sy = jnp.where(jax.random.bernoulli(kh, self.p_flip, (b,)), -1.0, 1.0) if self.flip_h else one
+        sx = jnp.where(jax.random.bernoulli(kw, self.p_flip, (b,)), -1.0, 1.0) if self.flip_w else one
+        m_flip = jnp.stack([jnp.stack([sy, zero], 1), jnp.stack([zero, sx], 1)], 1)
+        m, o = compose_affine(m, o, m_flip, jnp.zeros((b, 2)))
+        out = inplane_warp_matmul(image, m, o, order=1)
+        if mask is not None:
+            return out, inplane_warp_matmul(mask, m, o, order=0)
+        return out
+
+    def __str__(self):
+        return (f"AffineAugment3D(rotate={self.rotate}, p_flip={self.p_flip}, "
+                f"flip_h={self.flip_h}, flip_w={self.flip_w})")
 
 
 class Compose3D:
@@ -103,6 +132,7 @@ class Compose3D:
 
 TRANSFORMS.add("Flip3D", Flip3D)
 TRANSFORMS.add("RotateInPlane", RotateInPlane)
+TRANSFORMS.add("AffineAugment3D", AffineAugment3D)
 
 
 def default_patch_augmentation(
@@ -110,10 +140,17 @@ def default_patch_augmentation(
     flip_axes: Sequence[int] = (2, 3),
     brightness: Optional[Tuple[float, float]] = (-0.1, 0.1),
 ) -> Compose3D:
-    """The standard 128³-patch augmentation used by the 3D trainer."""
+    """The standard 128³-patch augmentation used by the 3D trainer.
+
+    Rotation and in-plane flips fuse into one :class:`AffineAugment3D`
+    warp; a depth flip (axis 1), if requested, stays a separate
+    :class:`Flip3D` (not expressible as an in-plane affine)."""
     from ich_tpu.ops.transforms import AdjustBrightness
 
-    parts = [RotateInPlane(*rotate), Flip3D(p=0.5, axes=flip_axes)]
+    parts = [AffineAugment3D(rotate, p_flip=0.5,
+                             flip_h=2 in flip_axes, flip_w=3 in flip_axes)]
+    if 1 in flip_axes:
+        parts.append(Flip3D(p=0.5, axes=(1,)))
     if brightness is not None:
         parts.append(AdjustBrightness(p=0.5, low=brightness[0], high=brightness[1]))
     return Compose3D(*parts)

@@ -260,3 +260,58 @@ def test_jit_and_batch():
     same = jnp.broadcast_to(imgs[0], imgs.shape)
     oa, _ = fn(KEY, same, masks)
     assert not np.allclose(np.asarray(oa)[0], np.asarray(oa)[1])
+
+
+def test_matmul_mask_warp_exact_for_shear_free_maps():
+    """Order-0 two-pass matmul == exact nearest gather for translate /
+    scale / flip (zero shear -> the two-pass coordinate factorization is
+    exact), and outputs stay exactly binary."""
+    from ich_tpu.ops.warp import affine_warp
+
+    mask = (np.random.default_rng(1).uniform(size=(4, 32, 32)) > 0.7).astype(np.float32)
+    cases = {
+        "translate": (jnp.broadcast_to(jnp.eye(2), (4, 2, 2)),
+                      jnp.asarray(np.tile([[3.3, -2.6]], (4, 1)), jnp.float32)),
+        "scale": (jnp.broadcast_to(jnp.asarray([[1.17, 0.0], [0.0, 1.17]]), (4, 2, 2)),
+                  jnp.zeros((4, 2))),
+        "flip": (jnp.broadcast_to(jnp.asarray([[1.0, 0.0], [0.0, -1.0]]), (4, 2, 2)),
+                 jnp.zeros((4, 2))),
+    }
+    for name, (m, o) in cases.items():
+        g = np.asarray(affine_warp(jnp.asarray(mask), m, o, order=0, method="gather"))
+        mm = np.asarray(affine_warp(jnp.asarray(mask), m, o, order=0, method="matmul"))
+        assert set(np.unique(mm)) <= {0.0, 1.0}, name
+        np.testing.assert_array_equal(g, mm, err_msg=name)
+
+
+def test_matmul_mask_warp_rotation_boundary_jitter_only():
+    """At a 15-degree rotation the two-pass nearest differs from the direct
+    nearest only at mask-boundary pixels (sub-pixel source jitter), stays
+    binary, and the mismatch fraction is small."""
+    from ich_tpu.ops.warp import affine_warp
+    import scipy.ndimage as sndi
+
+    mask = np.zeros((1, 32, 32), dtype=np.float32)
+    mask[0, 8:20, 10:24] = 1.0
+    th = np.deg2rad(15.0)
+    m = jnp.asarray([[[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]]], jnp.float32)
+    o = jnp.zeros((1, 2))
+    g = np.asarray(affine_warp(jnp.asarray(mask), m, o, order=0, method="gather"))[0]
+    mm = np.asarray(affine_warp(jnp.asarray(mask), m, o, order=0, method="matmul"))[0]
+    assert set(np.unique(mm)) <= {0.0, 1.0}
+    diff = g != mm
+    assert diff.mean() < 0.02
+    # every differing pixel touches the gather result's boundary (a pixel
+    # whose 3x3 neighborhood is not constant)
+    interior = sndi.binary_erosion(g > 0.5, np.ones((3, 3)))
+    exterior = sndi.binary_erosion(g < 0.5, np.ones((3, 3)))
+    assert not (diff & (interior | exterior)).any()
+
+
+def test_mask_warp_method_routing():
+    from ich_tpu.ops.warp import mask_warp_method, _use_matmul_warp
+
+    on_tpu = _use_matmul_warp()
+    assert mask_warp_method(0.0) == ("matmul" if on_tpu else "gather")
+    assert mask_warp_method(15.0) == ("matmul" if on_tpu else "gather")
+    assert mask_warp_method(90.0) == "gather"  # near-vertical maps stay exact

@@ -63,3 +63,60 @@ def test_default_patch_augmentation_in_unet3d():
     )
     t.train(ds)
     assert np.isfinite(t.outputs["train"]["evolution"][0][1])
+
+
+def test_inplane_warp_matmul_matches_per_slab():
+    """Depth-as-matmul-N formulation == per-slab affine_warp_matmul (same
+    two-pass math, different contraction layout)."""
+    from ich_tpu.ops.warp import affine_warp_matmul, inplane_warp_matmul
+
+    rng = np.random.default_rng(3)
+    vol = jnp.asarray(rng.uniform(size=(2, 4, 16, 16)).astype(np.float32))
+    th = np.deg2rad(12.0)
+    m = jnp.broadcast_to(
+        jnp.asarray([[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]], jnp.float32),
+        (2, 2, 2),
+    )
+    o = jnp.asarray(np.tile([[1.2, -0.7]], (2, 1)), jnp.float32)
+    got = np.asarray(inplane_warp_matmul(vol, m, o, order=1))
+    b, d, h, w = vol.shape
+    flat = vol.reshape(b * d, h, w)
+    m_s = jnp.repeat(m, d, axis=0)
+    o_s = jnp.repeat(o, d, axis=0)
+    want = np.asarray(affine_warp_matmul(flat, m_s, o_s, order=1)).reshape(vol.shape)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # order-0 masks stay binary and agree too
+    mask = (vol > 0.6).astype(jnp.float32)
+    g0 = np.asarray(inplane_warp_matmul(mask, m, o, order=0))
+    w0 = np.asarray(affine_warp_matmul(mask.reshape(b * d, h, w), m_s, o_s, order=0)).reshape(vol.shape)
+    assert set(np.unique(g0)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(g0, w0)
+
+
+def test_affine_augment3d_fused_flips_exact():
+    """With rotation pinned to 0 and p_flip=1, the fused warp must equal
+    plain H+W flips exactly (shear-free -> bit-exact, incl. the mask)."""
+    from ich_tpu.ops.transforms3d import AffineAugment3D
+
+    rng = np.random.default_rng(4)
+    vol = jnp.asarray(rng.uniform(size=(3, 4, 8, 8)).astype(np.float32))
+    mask = (vol > 0.5).astype(jnp.float32)
+    t = AffineAugment3D(rotate=(0.0, 0.0), p_flip=1.0)
+    oi, om = t(KEY, vol, mask)
+    want_i = np.flip(np.flip(np.asarray(vol), 2), 3)
+    np.testing.assert_allclose(np.asarray(oi), want_i, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(om), np.flip(np.flip(np.asarray(mask), 2), 3))
+
+
+def test_affine_augment3d_randomized_properties():
+    from ich_tpu.ops.transforms3d import AffineAugment3D
+
+    rng = np.random.default_rng(5)
+    vol = jnp.asarray(rng.uniform(size=(4, 6, 16, 16)).astype(np.float32))
+    mask = (vol > 0.7).astype(jnp.float32)
+    oi, om = AffineAugment3D(rotate=(-15, 15))(KEY, vol, mask)
+    assert oi.shape == vol.shape and om.shape == mask.shape
+    assert set(np.unique(np.asarray(om))) <= {0.0, 1.0}
+    # different keys give different augmentations
+    oi2, _ = AffineAugment3D(rotate=(-15, 15))(jax.random.PRNGKey(9), vol, mask)
+    assert not np.allclose(np.asarray(oi), np.asarray(oi2))
