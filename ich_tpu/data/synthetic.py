@@ -162,9 +162,19 @@ def write_segich_tree(
                      "CT_fn": ct_fn, "mask_fn": mask_fn, "Hemorrhage": pos})
         patients[vid] = max(patients.get(vid, 0), pos)
     pd.DataFrame(rows).to_csv(os.path.join(out_dir, "ct_info.csv"))
-    pd.DataFrame(
-        [{"PatientNumber": k, "Hemorrhage": v} for k, v in sorted(patients.items())]
-    ).to_csv(os.path.join(out_dir, "patient_info.csv"))
+    # patient_info carries the demographics the reference's metadata figure
+    # reads (Age / Gender columns, figure_scripts/data_exploration.py:39-58);
+    # synthesized deterministically per patient id
+    meta_rng = np.random.default_rng(1234)
+    pat_rows = []
+    for k, v in sorted(patients.items()):
+        pat_rows.append({
+            "PatientNumber": k,
+            "Age": int(meta_rng.integers(18, 95)),
+            "Gender": "Male" if meta_rng.uniform() < 0.5 else "Female",
+            "Hemorrhage": v,
+        })
+    pd.DataFrame(pat_rows).to_csv(os.path.join(out_dir, "patient_info.csv"))
     return out_dir
 
 

@@ -177,6 +177,39 @@ class FCDD(_SSLBase):
             heat = np.clip((heat - lo) / max(hi - lo, 1e-8), 0.0, 1.0)
         return heat
 
+    def grad_heatmap(self, images: np.ndarray, method: str = "grad",
+                     absolute: bool = True) -> np.ndarray:
+        """Gradient-based heatmap alternative: d(per-sample HSC pseudo-Huber
+        loss)/d(input), optionally input-weighted ('xgrad'), |.|, summed
+        over channels (reference ``FCDD_BaseNet.get_grad_heatmap:192-214``
+        — dead code there, parity-closed here as one ``jax.grad``)."""
+        assert method in ("grad", "xgrad")
+        net = self.net
+        variables = self._variables()
+
+        @jax.jit
+        def run(x):
+            if x.ndim == 3:
+                x = x[..., None]
+
+            def loss_sum(xi):
+                s = net.apply(variables, xi, train=False)
+                a = jnp.sqrt(s.astype(jnp.float32) ** 2 + 1.0) - 1.0
+                # sum of per-sample mean losses: grad rows are per-sample
+                return jnp.sum(jnp.mean(a.reshape(a.shape[0], -1), axis=1))
+
+            g = jax.grad(loss_sum)(x)
+            heat = x * g if method == "xgrad" else g
+            if absolute:
+                heat = jnp.abs(heat)
+            return jnp.sum(heat, axis=-1)
+
+        from ich_tpu.utils.pipeline import fetch_pipelined
+
+        dev = (run(jnp.asarray(images[idx]))
+               for idx in batch_indices(len(images), self.batch_size, shuffle=False, pad_wrap=False))
+        return np.concatenate(list(fetch_pipelined(dev, depth=4)))
+
     def get_min_max(self, images: np.ndarray, quantiles=(0.025, 0.975)) -> Tuple[float, float]:
         """Dataset-level heatmap quantile range for display scaling
         (reference ``get_min_max:185-209``)."""

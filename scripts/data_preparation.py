@@ -23,7 +23,7 @@ def cli():
     setup_logger()
 
 
-def _write_2d_dataset(data_dir, out_dir, mask_subdir):
+def _write_2d_dataset(data_dir, out_dir, mask_subdir, demographics_csv=None):
     import numpy as np
     import pandas as pd
     from PIL import Image
@@ -60,7 +60,18 @@ def _write_2d_dataset(data_dir, out_dir, mask_subdir):
                             "CT_fn": ct_fn, "mask_fn": mask_fn, "Hemorrhage": pos})
         patient_rows.append({"PatientNumber": pid, "Hemorrhage": any_pos})
     pd.DataFrame(ct_rows).to_csv(os.path.join(out_dir, "ct_info.csv"))
-    pd.DataFrame(patient_rows).to_csv(os.path.join(out_dir, "patient_info.csv"))
+    patient_df = pd.DataFrame(patient_rows)
+    if demographics_csv:
+        # the PhysioNet Patient_demographics.csv layout the reference parses
+        # (generate_2DSegDataset.py:37-39: header row 1, 2 footer rows,
+        # unnamed Age/Gender columns)
+        demo = pd.read_csv(
+            demographics_csv, header=1, skipfooter=2, engine="python"
+        ).rename(columns={"Unnamed: 0": "PatientNumber", "Unnamed: 1": "Age",
+                          "Unnamed: 2": "Gender"})
+        cols = [c for c in ("PatientNumber", "Age", "Gender") if c in demo.columns]
+        patient_df = patient_df.merge(demo[cols], on="PatientNumber", how="left")
+    patient_df.to_csv(os.path.join(out_dir, "patient_info.csv"))
     click.echo(f"Wrote {len(ct_rows)} slices / {len(patient_rows)} patients to {out_dir}")
 
 
@@ -68,8 +79,12 @@ def _write_2d_dataset(data_dir, out_dir, mask_subdir):
 @click.option("--data-dir", required=True, type=click.Path(exists=True),
               help="dir with ct_scans/ and masks/ NIfTIs")
 @click.option("--out-dir", required=True, type=click.Path())
-def gen_2d_seg(data_dir, out_dir):
-    _write_2d_dataset(data_dir, out_dir, "masks")
+@click.option("--demographics-csv", default=None, type=click.Path(exists=True),
+              help="PhysioNet Patient_demographics.csv; merges Age/Gender "
+                   "into patient_info.csv (reference "
+                   "generate_2DSegDataset.py:37-39)")
+def gen_2d_seg(data_dir, out_dir, demographics_csv):
+    _write_2d_dataset(data_dir, out_dir, "masks", demographics_csv)
 
 
 @cli.command("gen-2d-brain")

@@ -44,6 +44,74 @@ def dataset_stats(data_dir, out_fn):
     click.echo(f"Wrote {out_fn}")
 
 
+@cli.command("explore")
+@click.option("--data-dir", required=True, type=click.Path(exists=True))
+@click.option("--out-dir", default=".", type=click.Path())
+@click.option("--gif-patient", default=None, type=int,
+              help="Also write <id>_CT.gif animating this patient's slices "
+                   "with the ICH mask overlaid.")
+@click.option("--fps", default=4, type=int)
+def explore(data_dir, out_dir, gif_patient, fps):
+    """Data-exploration parity (reference
+    ``figure_scripts/data_exploration.py``): the patient metadata figure
+    (age histogram + gender bars, ``:39-58``) and, with ``--gif-patient``,
+    the per-patient CT+mask GIF (``:239`` via ``pred2GIF``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    patient_df = pd.read_csv(os.path.join(data_dir, "patient_info.csv"), index_col=0)
+    fig, (ax1, ax2) = plt.subplots(
+        1, 2, figsize=(10, 4), gridspec_kw=dict(width_ratios=[0.75, 0.25])
+    )
+    color = "#fdab48"  # the reference's xkcd:mango
+    ax1.hist(patient_df["Age"], color=color, bins=80 // 5, range=(0, 80))
+    ax1.hist(patient_df["Age"], histtype="step", color="black",
+             bins=80 // 5, range=(0, 80), linewidth=1)
+    ax1.set_xlabel("Patient age")
+    ax1.set_ylabel("Count [-]")
+    ax1.set_title("Patients Age Distribution")
+    counts = patient_df.Gender.value_counts()
+    ax2.bar(np.arange(len(counts)) + 0.5, counts.values,
+            tick_label=list(counts.index), width=0.8, color=color,
+            edgecolor="black", linewidth=1)
+    ax2.set_title("Patients Gender Distribution")
+    for ax in (ax1, ax2):
+        ax.spines["top"].set_visible(False)
+        ax.spines["right"].set_visible(False)
+    meta_fn = os.path.join(out_dir, "metadata_stat.pdf")
+    fig.savefig(meta_fn, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    click.echo(f"Wrote {meta_fn}")
+
+    if gif_patient is not None:
+        from PIL import Image
+
+        from ich_tpu.postprocessing.plots import pred2gif
+
+        ct_df = pd.read_csv(os.path.join(data_dir, "ct_info.csv"), index_col=0)
+        rows = ct_df[ct_df.PatientNumber == gif_patient].sort_values("SliceNumber")
+        if rows.empty:
+            raise click.ClickException(f"no slices for patient {gif_patient}")
+        imgs, masks = [], []
+        for _, r in rows.iterrows():
+            im = np.asarray(Image.open(os.path.join(data_dir, r.CT_fn)), np.float32)
+            lo, hi = im.min(), im.max()
+            imgs.append((im - lo) / max(hi - lo, 1e-6))
+            if isinstance(r.mask_fn, str) and r.mask_fn != "None":
+                m = np.asarray(Image.open(os.path.join(data_dir, r.mask_fn))) > 0
+            else:
+                m = np.zeros(im.shape, bool)
+            masks.append(m.astype(np.float32))
+        gif_fn = os.path.join(out_dir, f"{gif_patient}_CT.gif")
+        pred2gif(imgs, masks, gif_fn, fps=fps)
+        click.echo(f"Wrote {gif_fn}")
+
+
 @cli.command("rsna-stats")
 @click.option("--csv-path", required=True, type=click.Path(exists=True),
               help="slice_info.csv from the gen-rsna-csv CLI")

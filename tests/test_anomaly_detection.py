@@ -166,6 +166,11 @@ def test_fcdd_trainer():
     assert (heat >= 0).all() and (heat <= 1).all()
     auc = f.validate(data)
     assert np.isfinite(auc) or np.isnan(auc)
+    # gradient heatmap alternative (reference FCDD_BaseNet.py:192-214)
+    gh = f.grad_heatmap(data.images[:4])
+    assert gh.shape == (4, 32, 32) and (gh >= 0).all() and gh.max() > 0
+    gx = f.grad_heatmap(data.images[:4], method="xgrad", absolute=False)
+    assert gx.shape == (4, 32, 32) and not np.array_equal(gx, gh)
 
 
 # ---------------- inpainting AD ----------------
