@@ -150,22 +150,26 @@ def inplane_warp_matmul(
     vol: jax.Array, m: jax.Array, o: jax.Array, order: int = 1,
     cval: float = 0.0,
 ) -> jax.Array:
-    """In-plane (H, W) two-pass warp of a volume batch (B, D, H, W) with
-    ONE affine per sample shared across depth.
+    """In-plane (H, W) two-pass warp of a volume batch (B, D, H, W) or
+    (B, D, H, W, C) with ONE affine per sample shared across depth.
 
-    Depth rides the matmul contraction's N dimension instead of being
-    folded into the batch: the weight tensors are (B, H, W, W)/(B, H, W, H)
-    — D× smaller than the per-slab formulation — and each einsum is a real
-    (W×W)·(W×D) MXU matmul rather than D rank-1 products. This is the
-    fused form of ``RotateInPlane`` (ROUND3_NOTES: the 22 ms 3D-train
-    augmentation split)."""
-    b, d, h, w = vol.shape
+    Depth (and channels) ride the matmul contraction's N dimension instead
+    of being folded into the batch: the weight tensors are
+    (B, H, W, W)/(B, H, W, H) — D× smaller than the per-slab formulation —
+    and each einsum is a real (W×W)·(W×D·C) MXU matmul rather than D
+    rank-1 products. This is the fused form of ``RotateInPlane``
+    (ROUND3_NOTES: the 22 ms 3D-train augmentation split)."""
+    squeeze = vol.ndim == 4
+    if squeeze:
+        vol = vol[..., None]
+    b, d, h, w, c = vol.shape
     t1, t2, inb = _twopass_weights(m, o, h, w, order)
-    # tmp[b,d,v,x] = sum_u t1[b,v,x,u] * vol[b,d,v,u]
-    tmp = jnp.einsum("bvxu,bdvu->bdvx", t1, vol, preferred_element_type=jnp.float32)
-    # out[b,d,y,x] = sum_v t2[b,y,x,v] * tmp[b,d,v,x]
-    out = jnp.einsum("byxv,bdvx->bdyx", t2, tmp, preferred_element_type=jnp.float32)
-    return jnp.where(inb[:, None], out, cval)
+    # tmp[b,d,v,x,c] = sum_u t1[b,v,x,u] * vol[b,d,v,u,c]
+    tmp = jnp.einsum("bvxu,bdvuc->bdvxc", t1, vol, preferred_element_type=jnp.float32)
+    # out[b,d,y,x,c] = sum_v t2[b,y,x,v] * tmp[b,d,v,x,c]
+    out = jnp.einsum("byxv,bdvxc->bdyxc", t2, tmp, preferred_element_type=jnp.float32)
+    out = jnp.where(inb[:, None, :, :, None], out, cval)
+    return out[..., 0] if squeeze else out
 
 
 def _use_matmul_warp() -> bool:

@@ -120,3 +120,24 @@ def test_affine_augment3d_randomized_properties():
     # different keys give different augmentations
     oi2, _ = AffineAugment3D(rotate=(-15, 15))(jax.random.PRNGKey(9), vol, mask)
     assert not np.allclose(np.asarray(oi), np.asarray(oi2))
+
+
+def test_inplane_warp_matmul_channel_axis():
+    """(B, D, H, W, C) inputs warp identically per channel and match the
+    channel-less path."""
+    from ich_tpu.ops.warp import inplane_warp_matmul
+
+    rng = np.random.default_rng(7)
+    vol = jnp.asarray(rng.uniform(size=(2, 3, 12, 12)).astype(np.float32))
+    th = np.deg2rad(8.0)
+    m = jnp.broadcast_to(
+        jnp.asarray([[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]], jnp.float32),
+        (2, 2, 2),
+    )
+    o = jnp.zeros((2, 2))
+    base = np.asarray(inplane_warp_matmul(vol, m, o, order=1))
+    withc = np.asarray(inplane_warp_matmul(vol[..., None], m, o, order=1))
+    assert withc.shape == vol.shape + (1,)
+    np.testing.assert_allclose(withc[..., 0], base, atol=1e-6)
+    two = np.asarray(inplane_warp_matmul(jnp.stack([vol, 2 * vol], -1), m, o, order=1))
+    np.testing.assert_allclose(two[..., 1], 2 * base, atol=1e-5)
