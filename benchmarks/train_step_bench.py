@@ -81,7 +81,7 @@ def bench_2d(peak):
     return entry
 
 
-def bench_3d(peak, patch, batch):
+def bench_3d(peak, patch, batch, remat=False):
     import jax
     import jax.numpy as jnp
 
@@ -89,8 +89,10 @@ def bench_3d(peak, patch, batch):
     from ich_tpu.ops.transforms3d import default_patch_augmentation
     from ich_tpu.train.segmentation3d import UNet3D
 
+    # remat: bs2 x 128^3 stored activations exceed v5e HBM without
+    # per-block gradient checkpointing (UNet(remat=True)); 64^3 fits plain
     net = UNet(depth=4, ndim=3, top_filter=16, midchannels_factor=1,
-               p_dropout=0.0, norm="group", dtype=jnp.bfloat16)
+               p_dropout=0.0, norm="group", remat=remat, dtype=jnp.bfloat16)
     tr = UNet3D(net, patch_size=(patch,) * 3, n_epoch=1, batch_size=batch,
                 lr=1e-3, loss_fn="BinaryDiceLoss",
                 loss_fn_kwargs={"reduction": "mean"},
@@ -206,7 +208,7 @@ def main():
     jobs = [("train2d_bs16_256", lambda: bench_2d(peak))]
     if not args.skip_3d:
         jobs += [("train3d_bs8_64", lambda: bench_3d(peak, 64, 8)),
-                 ("train3d_bs2_128", lambda: bench_3d(peak, 128, 2)),
+                 ("train3d_bs2_128_remat", lambda: bench_3d(peak, 128, 2, remat=True)),
                  ("sampler3d_bs2_128", lambda: bench_sampler(128, 2))]
     if not args.skip_gan:
         jobs.append(("gan_bs32_256", lambda: bench_gan(peak)))

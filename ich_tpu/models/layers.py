@@ -87,6 +87,10 @@ class FlatGroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         red = tuple(range(1, x.ndim - 1))  # spatial axes
+        # statistics in f32 (fused into the reductions); the whole-tensor
+        # normalize pass stays in the compute dtype — a f32 elementwise
+        # chain here doubles every retained activation copy, which at
+        # bs2 x 128³ alone overflows a v5e's HBM (round-3 probe)
         xf = x.astype(jnp.float32)
         ch_mean = jnp.mean(xf, axis=red)  # (B, C)
         ch_sq = jnp.mean(jnp.square(xf), axis=red)
@@ -96,9 +100,11 @@ class FlatGroupNorm(nn.Module):
         # broadcast group stats back to channels (tiny, (B, g) -> (B, C))
         mu_c = jnp.repeat(gm, c // g, axis=-1)
         rs_c = jnp.repeat(jax.lax.rsqrt(var + self.epsilon), c // g, axis=-1)
+        # fold scale/bias into one multiply-add: y = x*sc + sh
+        sc = rs_c * scale[None, :]
+        sh = bias[None, :] - mu_c * sc
         shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
-        y = (xf - mu_c.reshape(shape)) * rs_c.reshape(shape)
-        y = y * scale + bias
+        y = x * sc.astype(x.dtype).reshape(shape) + sh.astype(x.dtype).reshape(shape)
         return y.astype(self.dtype)
 
 

@@ -45,6 +45,20 @@ def _filter_plan(depth: int, top_filter: int) -> Tuple[list, Tuple[int, int], li
     return down, bottleneck, up
 
 
+def _block_cls(remat: bool):
+    """ConvBlock, optionally wrapped in gradient checkpointing.
+
+    ``nn.remat`` keeps parameter paths identical (lifted transform), so
+    remat'd and plain networks share checkpoints/transfer. ``train`` (arg 2,
+    counting self) is static: it drives Python control flow (dropout gate,
+    BatchNorm mode). Used for big 3D patches where storing every
+    double-conv activation for the backward pass exceeds HBM — remat
+    recomputes inside each block, storing only block boundaries."""
+    if not remat:
+        return ConvBlock
+    return nn.remat(ConvBlock, static_argnums=(2,))
+
+
 class _Encoder(nn.Module):
     """Shared analysis path: depth-1 double-conv blocks with 2x max-pool
     between, then the bottleneck double-conv. Returns (skips, bottleneck)."""
@@ -57,15 +71,17 @@ class _Encoder(nn.Module):
     norm: str = "batch"
     gated: bool = False
     axis_name: Optional[str] = None
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         p_drop = normalize_p_dropout(self.p_dropout, self.depth)
         down, bottleneck, _ = _filter_plan(self.depth, self.top_filter)
+        Block = _block_cls(self.remat)
         skips = []
         for i, ch in enumerate(down):
-            x = ConvBlock(
+            x = Block(
                 ch,
                 mid_channels=ch // self.midchannels_factor,
                 ndim=self.ndim,
@@ -78,7 +94,7 @@ class _Encoder(nn.Module):
             )(x, train)
             skips.append(x)
             x = max_pool(x, self.ndim)
-        x = ConvBlock(
+        x = Block(
             bottleneck,
             mid_channels=bottleneck // self.midchannels_factor,
             ndim=self.ndim,
@@ -103,12 +119,14 @@ class _Decoder(nn.Module):
     norm: str = "batch"
     gated: bool = False
     axis_name: Optional[str] = None
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, skips: Sequence[jax.Array], train: bool = False):
         _, _, up = _filter_plan(self.depth, self.top_filter)
         n = self.n_stages if self.n_stages is not None else self.depth - 1
+        Block = _block_cls(self.remat)
         for i, ch in enumerate(up[:n]):
             if self.bilinear:
                 x = upsample_linear(x, self.ndim)
@@ -116,7 +134,7 @@ class _Decoder(nn.Module):
                 x = UpConv(ch, ndim=self.ndim, dtype=self.dtype, name=f"up_samp_{i}")(x)
             skip = skips[len(skips) - 1 - i]
             x = jnp.concatenate([skip, x], axis=-1)
-            x = ConvBlock(
+            x = Block(
                 ch,
                 mid_channels=ch,
                 ndim=self.ndim,
@@ -136,6 +154,12 @@ class UNet(nn.Module):
     ``ndim`` replaces the reference's ``use_3D`` flag. Final 1x1 conv +
     sigmoid (1 class) / softmax (>1), gated by ``use_final_activation``.
     Call with ``return_bottleneck=True`` to also get bottleneck features.
+
+    ``remat=True`` wraps every double-conv block in ``jax.checkpoint``
+    (activations recomputed in the backward pass) — required for big-3D
+    -patch training (e.g. bs2 x 128³) whose stored activations otherwise
+    exceed a v5e chip's HBM; parameter paths are unchanged, so
+    checkpoints/transfer interoperate with ``remat=False`` nets.
     """
 
     depth: int = 5
@@ -149,6 +173,7 @@ class UNet(nn.Module):
     norm: str = "batch"
     gated: bool = False
     axis_name: Optional[str] = None
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -164,6 +189,7 @@ class UNet(nn.Module):
             norm=self.norm,
             gated=self.gated,
             axis_name=self.axis_name,
+            remat=self.remat,
             dtype=self.dtype,
             name="encoder",
         )(x, train)
@@ -176,6 +202,7 @@ class UNet(nn.Module):
             norm=self.norm,
             gated=self.gated,
             axis_name=self.axis_name,
+            remat=self.remat,
             dtype=self.dtype,
             name="decoder",
         )(x, skips, train)

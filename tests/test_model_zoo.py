@@ -184,3 +184,33 @@ def test_flat_group_norm_matches_flax():
     vb = m.init(KEY, xb)
     out = m.apply(vb, xb)
     assert out.dtype == jnp.bfloat16
+
+
+def test_unet_remat_equals_plain():
+    """remat=True is numerically identical (forward + grads) and shares
+    the parameter tree with remat=False."""
+    import jax
+    from ich_tpu.models.unet import UNet
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(size=(2, 16, 16, 16, 1)).astype(np.float32))
+    kw = dict(depth=3, ndim=3, top_filter=8, midchannels_factor=1,
+              p_dropout=0.0, norm="group")
+    plain = UNet(**kw)
+    rem = UNet(remat=True, **kw)
+    v = plain.init(KEY, x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        rem.init(KEY, x))
+    want = plain.apply(v, x, train=True)
+    got = rem.apply(v, x, train=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+    def loss_fn(mod, params):
+        return jnp.sum(mod.apply({"params": params}, x, train=True) ** 2)
+
+    g1 = jax.grad(lambda p: loss_fn(plain, p))(v["params"])
+    g2 = jax.grad(lambda p: loss_fn(rem, p))(v["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5),
+        g1, g2)
