@@ -126,7 +126,12 @@ def main():
     peak = peak_tflops(jax.devices()[0].device_kind)
 
     results = {}
-    for patch, batch in ((64, 64), (128, 8)):
+    # 64^3 chunk size 128: network-call cost on v5e is quantized in units
+    # of ~48.5 ms per 128 patches (b=32..128 all cost one unit, 192/256
+    # two — docs/BENCHMARKS.md round-3 probe), so the 225-patch grid runs
+    # cheapest as two global chunks (128+97) instead of four ragged
+    # per-coset ones (64+56+56+49).
+    for patch, batch in ((64, 128), (128, 8)):
         run = make_run(patch, batch)
         try:
             lat, thr = timed(run)

@@ -199,17 +199,11 @@ def _sliding_window_coset_jit(
         # patches of coset ci along an axis: indices ci, ci+k, ci+2k, ...
         return (n[axis] - 1 - ci) // (kd, kh, kw)[axis] + 1 if ci < n[axis] else 0
 
-    # The barriers below serialize coset/chunk network calls. They are NOT
-    # optional: before round 2 the in-graph weight accumulator incidentally
-    # chained the cosets; with the weight canvas precomputed on the host the
-    # cosets are fully independent, and an unbarriered program lets XLA
-    # interleave every network body — measured: the 64^3 batch-64 compile
-    # itself runs >25 min (liveness explosion) where the barriered program
-    # compiles in seconds and runs at 4.28 vol/s.
-    serialize = True
-
-    acc = jnp.zeros(dims + (c_out,), jnp.float32)
-
+    # Pass 1: extract every coset's patch stack. Within a coset both the
+    # extraction and (later) the blended scatter-back are pure reshapes.
+    cosets = []  # (origin, (md, mh, mw), start index into the global stack)
+    stacks = []
+    total = 0
     for cd in range(min(kd, n[0])):
         for ch_ in range(min(kh, n[1])):
             for cw in range(min(kw, n[2])):
@@ -224,40 +218,51 @@ def _sliding_window_coset_jit(
                     (od, oh, ow, 0),
                     (od + md * pd, oh + mh * ph, ow + mw * pw, c),
                 )
-                # cosets/chunks are data-independent, so XLA is free to
-                # interleave their network calls — which multiplies peak
-                # activation liveness past HBM on big patches (measured:
-                # 28.7G requested for 128^3). The barrier threads a fake
-                # dependency on the running accumulator, forcing strictly
-                # sequential execution and buffer reuse.
-                if serialize:
-                    view, _ = jax.lax.optimization_barrier((view, acc[0, 0, 0, 0]))
                 patches = view.reshape(md, pd, mh, ph, mw, pw, c)
                 patches = patches.transpose(0, 2, 4, 1, 3, 5, 6).reshape(
                     md * mh * mw, pd, ph, pw, c
                 )
-                m = patches.shape[0]
-                # exact-shape chunks (no zero-padding waste): chunk sizes are
-                # static per coset, so at most a handful of compiled shapes
-                chunks = []
-                for i in range(0, m, batch_size):
-                    pi = patches[i : i + batch_size]
-                    if serialize and chunks:
-                        pi, _ = jax.lax.optimization_barrier((pi, chunks[-1][0, 0, 0, 0, 0]))
-                    chunks.append(apply_fn(variables, pi).astype(jnp.float32))
-                preds = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
-                preds = preds * gmap[None]
-                block = preds.reshape(md, mh, mw, pd, ph, pw, c_out)
-                block = block.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
-                    md * pd, mh * ph, mw * pw, c_out
-                )
-                acc = jax.lax.dynamic_update_slice(
-                    acc,
-                    jax.lax.dynamic_slice(
-                        acc, (od, oh, ow, 0), block.shape
-                    ) + block,
-                    (od, oh, ow, 0),
-                )
+                cosets.append(((od, oh, ow), (md, mh, mw), total))
+                stacks.append(patches)
+                total += patches.shape[0]
+    stack = stacks[0] if len(stacks) == 1 else jnp.concatenate(stacks)
+
+    # Pass 2: the network over the GLOBAL patch stack in batch_size chunks
+    # (exact-shape tail, no zero-padding waste). Batching across cosets
+    # matters: chunk shapes below ~the saturating batch cost nearly as much
+    # as full ones (measured round 3: b=56 runs 51.4 ms where b=64 runs
+    # 52.9 and b=128 runs 52.2 — see docs/BENCHMARKS.md), so four per-coset
+    # ragged chunks (64+56+56+49) waste ~2x vs two global ones (128+97).
+    #
+    # The barriers serialize the chunk calls. They are NOT optional: the
+    # chunks are data-independent, and an unbarriered program lets XLA
+    # interleave every network body, multiplying peak activation liveness
+    # past HBM (measured: 28.7G requested at 128^3; the 64^3 batch-64
+    # compile alone runs >25 min from the liveness explosion).
+    preds_chunks = []
+    for i in range(0, total, batch_size):
+        pi = stack[i : i + batch_size]
+        if preds_chunks:
+            pi, _ = jax.lax.optimization_barrier(
+                (pi, preds_chunks[-1][0, 0, 0, 0, 0])
+            )
+        preds_chunks.append(apply_fn(variables, pi).astype(jnp.float32))
+    preds = preds_chunks[0] if len(preds_chunks) == 1 else jnp.concatenate(preds_chunks)
+    preds = preds * gmap[None]
+
+    # Pass 3: per-coset blended accumulation (reshape + one slice-add)
+    acc = jnp.zeros(dims + (c_out,), jnp.float32)
+    for (od, oh, ow), (md, mh, mw), start in cosets:
+        block = jax.lax.slice_in_dim(preds, start, start + md * mh * mw, axis=0)
+        block = block.reshape(md, mh, mw, pd, ph, pw, c_out)
+        block = block.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
+            md * pd, mh * ph, mw * pw, c_out
+        )
+        acc = jax.lax.dynamic_update_slice(
+            acc,
+            jax.lax.dynamic_slice(acc, (od, oh, ow, 0), block.shape) + block,
+            (od, oh, ow, 0),
+        )
     inv_w = jnp.asarray(_coset_weight_canvas(dims, patch_size, stride))
     return acc * inv_w
 

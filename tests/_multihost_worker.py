@@ -29,8 +29,26 @@ def main() -> None:
     mesh = initialize_multihost(
         coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
     )
-    assert jax.device_count() == 2 * nproc, jax.device_count()
+    if nproc > 1:
+        # 2 virtual CPU devices per coordinated process (parent's XLA_FLAGS)
+        assert jax.device_count() == 2 * nproc, jax.device_count()
     assert mesh.devices.size == jax.device_count()
+
+    # Establish the Gloo collective context with a trivially-compiled
+    # barrier BEFORE the heavy train-step compile: on a 1-core CI box the
+    # two processes compile serially, and if the first executed collective
+    # is the train step's gradient psum, the faster process hits Gloo's
+    # 30 s context-init rendezvous timeout while the slower one is still
+    # compiling. Retry absorbs residual startup skew.
+    from jax.experimental import multihost_utils
+
+    for attempt in range(3):
+        try:
+            multihost_utils.sync_global_devices("ich_tpu_warmup")
+            break
+        except Exception:  # jax.errors.JaxRuntimeError: DEADLINE_EXCEEDED
+            if attempt == 2:
+                raise
 
     from ich_tpu.data import synthetic_ich_slices
     from ich_tpu.models import UNet
