@@ -208,6 +208,9 @@ def main():
     jobs = [("train2d_bs16_256", lambda: bench_2d(peak))]
     if not args.skip_3d:
         jobs += [("train3d_bs8_64", lambda: bench_3d(peak, 64, 8)),
+                 # throughput-optimal batch (2.7x the bs8 Mvox/s, round-3
+                 # scaling probe) — the BASELINE-parity shapes stay above
+                 ("train3d_bs64_64", lambda: bench_3d(peak, 64, 64)),
                  ("train3d_bs2_128_remat", lambda: bench_3d(peak, 128, 2, remat=True)),
                  ("sampler3d_bs2_128", lambda: bench_sampler(128, 2))]
     if not args.skip_gan:
