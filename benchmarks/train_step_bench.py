@@ -81,7 +81,7 @@ def bench_2d(peak):
     return entry
 
 
-def bench_3d(peak, patch, batch, remat=False):
+def bench_3d(peak, patch, batch, remat=False, aug=True):
     import jax
     import jax.numpy as jnp
 
@@ -96,7 +96,7 @@ def bench_3d(peak, patch, batch, remat=False):
     tr = UNet3D(net, patch_size=(patch,) * 3, n_epoch=1, batch_size=batch,
                 lr=1e-3, loss_fn="BinaryDiceLoss",
                 loss_fn_kwargs={"reduction": "mean"},
-                augment_fn=default_patch_augmentation())
+                augment_fn=default_patch_augmentation() if aug else None)
     tr._ensure_state((patch, patch, patch), steps_per_epoch=100)
     step = tr._make_train_step()
     rng = np.random.default_rng(0)
@@ -191,10 +191,87 @@ def bench_gan(peak):
     return entry
 
 
+def _time_fn(fn, *args, n=10):
+    """Seconds/call, pipelined: dispatch n calls and fetch one scalar at the
+    end (device executions are in-order; fetch ≈34 ms amortized away)."""
+    import jax.numpy as jnp
+
+    def scalar(out):
+        leaf = jax.tree_util.tree_leaves(out)[0] if not hasattr(out, "ravel") else out
+        return float(jnp.ravel(leaf)[0])
+
+    import jax
+
+    scalar(fn(*args))  # compile + sync
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = fn(*args)
+    scalar(out)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_gan_parts(peak):
+    """Per-component attribution of the SN-PatchGAN step (forward passes in
+    eval mode — BN stats frozen; relative costs carry over): generator with
+    and without the contextual-attention branch, the attention module alone
+    at its in-net shape (B=32, 64², C=128), the SN patch discriminator, the
+    DiscountedL1 distance-map (Pallas EDT), and G/D fwd+bwd probes."""
+    import jax
+    import jax.numpy as jnp
+
+    from ich_tpu.models.inpainting import (
+        ContextualAttention, GatedGenerator, PatchDiscriminator)
+    from ich_tpu.ops.losses import discounted_l1_loss
+    from ich_tpu.ops.masks import random_ff_masks
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(32, 256, 256, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    masks = random_ff_masks(key, 32, (256, 256))[..., None].astype(jnp.float32)
+
+    out = {}
+    for name, attn in (("g_fwd_full", True), ("g_fwd_no_attention", False)):
+        g = GatedGenerator(dtype=jnp.bfloat16, context_attention=attn)
+        gv = g.init(key, imgs[:1], masks[:1], train=False)
+        f = jax.jit(lambda v, i, m: g.apply(v, i, m, train=False)[0])
+        out[name] = round(_time_fn(f, gv, imgs, masks) * 1e3, 2)
+
+    ca = ContextualAttention()
+    feat = jnp.asarray(rng.uniform(size=(32, 64, 64, 128)), jnp.bfloat16)
+    cv = ca.init(key, feat[:1], feat[:1])
+    fca = jax.jit(lambda v, x, m: ca.apply(v, x, x, mask=m))
+    out["ctx_attention_module"] = round(_time_fn(fca, cv, feat, masks) * 1e3, 2)
+
+    d = PatchDiscriminator(dtype=jnp.bfloat16)
+    dv = d.init(key, imgs[:1], masks[:1])
+    fd = jax.jit(lambda v, i, m: d.apply(v, i, m))
+    out["d_fwd"] = round(_time_fn(fd, dv, imgs, masks) * 1e3, 2)
+
+    fl = jax.jit(lambda a, b, m: discounted_l1_loss(a, b, m))
+    out["discounted_l1_edt"] = round(
+        _time_fn(fl, imgs, imgs * 0.9, masks) * 1e3, 2)
+
+    # fwd+bwd probes (L1 objective; optimizer excluded)
+    g = GatedGenerator(dtype=jnp.bfloat16)
+    gv = g.init(key, imgs[:1], masks[:1], train=False)
+    gb = jax.jit(lambda v, i, m: jax.grad(
+        lambda vv: jnp.abs(g.apply(vv, i, m, train=False)[0] - i).mean()
+    )(v))
+    out["g_fwd_bwd"] = round(_time_fn(gb, gv, imgs, masks) * 1e3, 2)
+    db = jax.jit(lambda v, i, m: jax.grad(
+        lambda vv: d.apply(vv, i, m).mean())(v))
+    out["d_fwd_bwd"] = round(_time_fn(db, dv, imgs, masks) * 1e3, 2)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-3d", action="store_true")
     ap.add_argument("--skip-gan", action="store_true")
+    ap.add_argument("--parts", action="store_true",
+                    help="component attribution (GAN parts + 3D no-augment) "
+                         "instead of the headline step table")
     args = ap.parse_args()
 
     import jax
@@ -205,6 +282,18 @@ def main():
     float(jnp.ones(()).sum())  # tunnel warmup
     peak = peak_tflops(jax.devices()[0].device_kind)
     out = {"device": jax.devices()[0].device_kind, "peak_bf16_tflops": peak}
+    if args.parts:
+        jobs = [("gan_parts", lambda: bench_gan_parts(peak)),
+                ("train3d_bs8_64_noaug", lambda: bench_3d(peak, 64, 8, aug=False)),
+                ("train3d_bs8_64", lambda: bench_3d(peak, 64, 8))]
+        for name, fn in jobs:
+            try:
+                out[name] = fn()
+            except Exception as e:
+                out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(name, json.dumps(out[name]), flush=True)
+        print(json.dumps(out))
+        return
     jobs = [("train2d_bs16_256", lambda: bench_2d(peak))]
     if not args.skip_3d:
         jobs += [("train3d_bs8_64", lambda: bench_3d(peak, 64, 8)),

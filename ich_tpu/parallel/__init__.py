@@ -13,3 +13,7 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
 ]
+
+# Sharded-inference entry points live in ich_tpu.parallel.sharded_inference
+# (imported lazily by callers: sliding_window_inference_sharded,
+# sliding_window_inference_volume_parallel).

@@ -101,3 +101,63 @@ def sliding_window_inference_sharded(
     vol_sharded = jax.device_put(volume, NamedSharding(mesh, P(None, axis_name, None, None)))
     out = jax.jit(fn)(vol_sharded, variables)
     return out[:d, :h, :w]
+
+
+def sliding_window_inference_volume_parallel(
+    apply_fn: Callable,
+    variables,
+    volumes: jax.Array,
+    mesh: Mesh,
+    patch_size: Sequence[int] = (64, 64, 64),
+    overlap: float = 0.5,
+    batch_size: int = 8,
+    axis_name: str = "data",
+) -> jax.Array:
+    """Volume-parallel serving scale-out: a (N, D, H, W[, C]) stack of
+    same-shaped CTs sharded one-volume-per-device over ``mesh[axis_name]``.
+
+    Each device runs the *unmodified* single-volume program
+    (:func:`ich_tpu.ops.sliding_window.sliding_window_inference`) on its
+    local volumes — zero collectives, linear scaling over ICI-attached
+    chips (the serving counterpart of batch-sharded training; the
+    reference's torch pipeline segments volumes strictly serially,
+    ``UNet2D.py:272-314``). N is padded up to a multiple of the axis size
+    by repeating the last volume; padded outputs are dropped. With more
+    than one volume per device the local stack runs through ``lax.map``,
+    compiling the sliding-window program once.
+
+    Returns (N, D, H, W, C_out) float32.
+    """
+    from ich_tpu.ops.sliding_window import sliding_window_inference
+
+    if volumes.ndim == 4:
+        volumes = volumes[..., None]
+    n, d, h, w, c = volumes.shape
+    n_dev = mesh.shape[axis_name]
+    n_pad = -(-n // n_dev) * n_dev
+    if n_pad != n:
+        volumes = jnp.concatenate(
+            [volumes, jnp.repeat(volumes[-1:], n_pad - n, axis=0)]
+        )
+
+    def local(vols_blk, variables):
+        single = lambda v: sliding_window_inference(
+            apply_fn, variables, v,
+            patch_size=patch_size, overlap=overlap, batch_size=batch_size,
+        )
+        if vols_blk.shape[0] == 1:
+            return single(vols_blk[0])[None]
+        return jax.lax.map(single, vols_blk)
+
+    from jax import shard_map
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    vols_sharded = jax.device_put(volumes, NamedSharding(mesh, P(axis_name)))
+    out = jax.jit(fn)(vols_sharded, variables)
+    return out[:n]

@@ -272,10 +272,51 @@ class UNet3D(UNet2D):
         flight before the oldest result is fetched, so same-shaped CTs run
         back-to-back on the device while HBM stays bounded (full-volume
         inputs + probability maps are ~130 MB each at the headline shape —
-        an unbounded dispatch of a directory would OOM)."""
+        an unbounded dispatch of a directory would OOM).
+
+        With a multi-device ``mesh`` and same-shaped volumes, dispatches
+        instead to the volume-parallel SPMD path (one CT per chip, zero
+        collectives — :func:`ich_tpu.parallel.sharded_inference.
+        sliding_window_inference_volume_parallel`)."""
         net = self.unet
         variables = self._variables()
         apply_fn = lambda v, x: net.apply(v, x, train=False)
+
+        vol_list = [np.asarray(v, dtype=np.float32) for v in volumes]
+        if (
+            self.mesh is not None
+            and int(np.prod(list(self.mesh.shape.values()))) > 1
+            and len(vol_list) > 1
+            and all(v.shape == vol_list[0].shape for v in vol_list)
+        ):
+            from ich_tpu.parallel.sharded_inference import (
+                sliding_window_inference_volume_parallel,
+            )
+
+            stack = jnp.asarray(np.stack(vol_list))
+            if window is not None:
+                from ich_tpu.ops.ct import window_ct
+
+                stack = window_ct(stack, window[0], window[1])
+            probs = sliding_window_inference_volume_parallel(
+                apply_fn, variables, stack, self.mesh,
+                patch_size=self.patch_size, overlap=self.sw_overlap,
+                batch_size=self.sw_batch_size,
+            )
+            preds = []
+            for i in range(len(vol_list)):
+                pred = (np.asarray(probs[i, ..., 0] >= threshold)
+                        .astype(np.uint8) * np.uint8(255))
+                if save_fns is not None and save_fns[i]:
+                    from ich_tpu.data import nifti
+
+                    aff = affines[i] if affines is not None else None
+                    nifti.save(save_fns[i], pred,
+                               aff if aff is not None else np.eye(4))
+                if return_preds:
+                    preds.append(pred)
+            return preds if return_preds else None
+
         preds = []
         pending = []
 
@@ -291,8 +332,8 @@ class UNet3D(UNet2D):
             if return_preds:
                 preds.append(pred)
 
-        for i, vol_data in enumerate(volumes):
-            vol = jnp.asarray(np.asarray(vol_data, dtype=np.float32))
+        for i, vol_data in enumerate(vol_list):
+            vol = jnp.asarray(vol_data)
             if window is not None:
                 from ich_tpu.ops.ct import window_ct
 

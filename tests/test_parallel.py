@@ -113,6 +113,38 @@ def test_sharded_sliding_window_matches_single_device(mesh):
     np.testing.assert_allclose(a[:, 8:-8], b[:, 8:-8], atol=2e-3)
 
 
+def test_volume_parallel_inference_matches_single_device(mesh):
+    """One volume per device (plus lax.map for >1/device and tail padding):
+    exactly the single-volume program per chip, so outputs must be
+    bit-comparable to the serial per-volume loop."""
+    from ich_tpu.models import UNet
+    from ich_tpu.ops.sliding_window import sliding_window_inference
+    from ich_tpu.parallel.sharded_inference import (
+        sliding_window_inference_volume_parallel,
+    )
+
+    net = UNet(depth=2, ndim=3, top_filter=4, p_dropout=0.0, norm="group")
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 1)))
+    apply_fn = lambda v, x: net.apply(v, x, train=False)
+    rng = np.random.default_rng(4)
+    # N=11: not a multiple of 8 (exercises tail padding) and >8 (lax.map)
+    vols = jnp.asarray(rng.uniform(size=(11, 8, 16, 16)).astype(np.float32))
+
+    par = sliding_window_inference_volume_parallel(
+        apply_fn, variables, vols, mesh,
+        patch_size=(8, 8, 8), overlap=0.5, batch_size=4,
+    )
+    assert par.shape[:1] == (11,)
+    for i in (0, 7, 10):
+        single = sliding_window_inference(
+            apply_fn, variables, vols[i],
+            patch_size=(8, 8, 8), overlap=0.5, batch_size=4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(par[i]), np.asarray(single), atol=1e-5
+        )
+
+
 @pytest.mark.slow
 def test_trainer_mesh_argument(mesh):
     """UNet2D(mesh=...) trains data-parallel end to end via the public API."""
