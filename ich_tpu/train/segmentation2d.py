@@ -397,19 +397,12 @@ class UNet2D:
 
     # -- full-volume inference ----------------------------------------------
 
-    def _make_segment_volume_fn(self, in_hw, z_pad, input_size, window):
-        # memoize per configuration: a fresh jax.jit closure per volume
-        # would recompile the identical program for every same-shaped CT
-        cache = getattr(self, "_segvol_cache", None)
-        if cache is None:
-            cache = self._segvol_cache = {}
-        cache_key = (tuple(in_hw), int(z_pad), tuple(input_size),
-                     tuple(window) if window is not None else None)
-        if cache_key in cache:
-            return cache[cache_key]
+    def _segvol_body(self, in_hw, z_pad, input_size, window):
+        """Pure (variables, (H, W, Zp) raw vol) → (H, W, Zp) uint8 body of
+        the whole-volume program — shared by the jitted single-volume path
+        and the mesh-sharded multi-volume path."""
         net, bs = self.unet, self.batch_size
 
-        @jax.jit
         def run(variables, vol):  # vol: (H, W, Zp) raw units
             x = jnp.rot90(vol, axes=(0, 1))  # 90° ccw, reference :286
             if window is not None:
@@ -428,6 +421,19 @@ class UNet2D:
             pred = ct.resize_nearest(pred, (in_hw[0], in_hw[1], z_pad))
             return jnp.rot90(pred, axes=(1, 0))  # rotate back
 
+        return run
+
+    def _make_segment_volume_fn(self, in_hw, z_pad, input_size, window):
+        # memoize per configuration: a fresh jax.jit closure per volume
+        # would recompile the identical program for every same-shaped CT
+        cache = getattr(self, "_segvol_cache", None)
+        if cache is None:
+            cache = self._segvol_cache = {}
+        cache_key = (tuple(in_hw), int(z_pad), tuple(input_size),
+                     tuple(window) if window is not None else None)
+        if cache_key in cache:
+            return cache[cache_key]
+        run = jax.jit(self._segvol_body(in_hw, z_pad, input_size, window))
         cache[cache_key] = run
         return run
 
@@ -475,10 +481,63 @@ class UNet2D:
         in-order) while device memory stays bounded (an unbounded dispatch
         of a whole directory would keep every input + probability volume
         resident in HBM at once). Same-shaped volumes share one compiled
-        program (the per-config jit memoization above)."""
+        program (the per-config jit memoization above).
+
+        With a multi-device ``mesh`` and same-shaped volumes, the stack is
+        instead sharded one-volume-per-device over the mesh's ``data`` axis
+        (zero collectives — the 2.5D counterpart of
+        :func:`ich_tpu.parallel.sharded_inference.
+        sliding_window_inference_volume_parallel`)."""
         if self.state is None:
             self._ensure_state(tuple(input_size))
         variables = self._variables()
+
+        vol_list = [np.asarray(v, dtype=np.float32) for v in volumes]
+        if (
+            self.mesh is not None
+            and int(np.prod(list(self.mesh.shape.values()))) > 1
+            and len(vol_list) > 1
+            and all(v.shape == vol_list[0].shape for v in vol_list)
+        ):
+            from jax import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            h, w, z = vol_list[0].shape
+            z_pad = int(np.ceil(z / self.batch_size) * self.batch_size)
+            n = len(vol_list)
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
+            n_pad = -(-n // n_dev) * n_dev
+            stack = np.zeros((n_pad, h, w, z_pad), dtype=np.float32)
+            for i, v in enumerate(vol_list):
+                stack[i, :, :, :z] = v
+            stack[n:] = stack[n - 1]
+            body = self._segvol_body((h, w), z_pad, tuple(input_size), window)
+            axis = next(iter(self.mesh.shape))
+
+            def local(variables, blk):  # (k, H, W, Zp) local volumes
+                return jax.lax.map(lambda v: body(variables, v), blk)
+
+            fn = shard_map(
+                local, mesh=self.mesh, in_specs=(P(), P(axis)),
+                out_specs=P(axis), check_vma=False,
+            )
+            dev_stack = jax.device_put(
+                jnp.asarray(stack), NamedSharding(self.mesh, P(axis))
+            )
+            out = jax.jit(fn)(variables, dev_stack)
+            preds = []
+            for i in range(n):
+                pred = (np.asarray(out[i])[:, :, :z] * 255).astype(np.uint8)
+                if save_fns is not None and save_fns[i]:
+                    from ich_tpu.data import nifti
+
+                    aff = affines[i] if affines is not None else None
+                    nifti.save(save_fns[i], pred,
+                               aff if aff is not None else np.eye(4))
+                if return_preds:
+                    preds.append(pred)
+            return preds if return_preds else None
+
         preds = []
         pending = []
 
@@ -494,7 +553,7 @@ class UNet2D:
             if return_preds:
                 preds.append(pred)
 
-        for i, vol_data in enumerate(volumes):
+        for i, vol_data in enumerate(vol_list):
             h, w, z = vol_data.shape
             z_pad = int(np.ceil(z / self.batch_size) * self.batch_size)
             vol = np.zeros((h, w, z_pad), dtype=np.float32)

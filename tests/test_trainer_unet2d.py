@@ -167,6 +167,38 @@ def test_segment_volumes_pipelined_matches_single(tmp_path):
     np.testing.assert_array_equal(data2, outs[1])
 
 
+def test_segment_volumes_mesh_dispatch(tmp_path):
+    """With a multi-device mesh and same-shaped volumes, the 2.5D
+    segment_volumes routes one volume per device and must equal the serial
+    per-volume results."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 (virtual) devices")
+    from ich_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8], axis_names=("data",))
+    vols = [synthetic_ich_volume(size=32, depth=20, seed=s)[0] for s in (5, 6, 7)]
+    t = _trainer(batch_size=8, mesh=mesh)
+    singles = [
+        t.segment_volume(v, window=(50, 200), input_size=(32, 32),
+                         return_pred=True)
+        for v in vols
+    ]
+    outs = t.segment_volumes(vols, window=(50, 200), input_size=(32, 32),
+                             save_fns=[None, None, str(tmp_path / "c.nii.gz")],
+                             return_preds=True)
+    assert len(outs) == 3
+    for a, b in zip(singles, outs):
+        np.testing.assert_array_equal(a, b)
+    from ich_tpu.data import nifti
+
+    data3, _, _ = nifti.load(str(tmp_path / "c.nii.gz"))
+    np.testing.assert_array_equal(data3, outs[2])
+
+
 def test_device_cached_dataset_training(data):
     import jax
 
