@@ -492,10 +492,19 @@ class UNet2D:
             self._ensure_state(tuple(input_size))
         variables = self._variables()
 
-        vol_list = [np.asarray(v, dtype=np.float32) for v in volumes]
-        if (
+        # only the mesh path needs the whole stack at once; the serial path
+        # consumes `volumes` lazily so a generator keeps host memory
+        # O(pipeline depth)
+        use_mesh = (
             self.mesh is not None
             and int(np.prod(list(self.mesh.shape.values()))) > 1
+        )
+        vol_list = (
+            [np.asarray(v, dtype=np.float32) for v in volumes]
+            if use_mesh else volumes
+        )
+        if (
+            use_mesh
             and len(vol_list) > 1
             and all(v.shape == vol_list[0].shape for v in vol_list)
         ):
@@ -554,6 +563,7 @@ class UNet2D:
                 preds.append(pred)
 
         for i, vol_data in enumerate(vol_list):
+            vol_data = np.asarray(vol_data, dtype=np.float32)
             h, w, z = vol_data.shape
             z_pad = int(np.ceil(z / self.batch_size) * self.batch_size)
             vol = np.zeros((h, w, z_pad), dtype=np.float32)

@@ -282,10 +282,18 @@ class UNet3D(UNet2D):
         variables = self._variables()
         apply_fn = lambda v, x: net.apply(v, x, train=False)
 
-        vol_list = [np.asarray(v, dtype=np.float32) for v in volumes]
-        if (
+        # only the mesh path needs the whole stack at once; the serial path
+        # consumes `volumes` lazily (generator-friendly, O(pipeline_depth))
+        use_mesh = (
             self.mesh is not None
             and int(np.prod(list(self.mesh.shape.values()))) > 1
+        )
+        vol_list = (
+            [np.asarray(v, dtype=np.float32) for v in volumes]
+            if use_mesh else volumes
+        )
+        if (
+            use_mesh
             and len(vol_list) > 1
             and all(v.shape == vol_list[0].shape for v in vol_list)
         ):
@@ -333,7 +341,7 @@ class UNet3D(UNet2D):
                 preds.append(pred)
 
         for i, vol_data in enumerate(vol_list):
-            vol = jnp.asarray(vol_data)
+            vol = jnp.asarray(np.asarray(vol_data, dtype=np.float32))
             if window is not None:
                 from ich_tpu.ops.ct import window_ct
 
