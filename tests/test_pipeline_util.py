@@ -1,5 +1,7 @@
 """fetch_pipelined: order preservation and bounded in-flight window."""
 
+import os
+
 import numpy as np
 
 from ich_tpu.utils.pipeline import fetch_pipelined
@@ -36,3 +38,23 @@ def test_depth_one_and_numpy_default():
     out = list(fetch_pipelined(iter(arrs), depth=1))
     for i, a in enumerate(out):
         np.testing.assert_array_equal(a, np.full((2,), i))
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    from ich_tpu.utils.cache import enable_compilation_cache
+
+    monkeypatch.delenv("ICH_TPU_NO_COMPILE_CACHE", raising=False)
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    d = str(tmp_path / "xla_cache")
+    try:
+        assert enable_compilation_cache(d) == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+
+        monkeypatch.setenv("ICH_TPU_NO_COMPILE_CACHE", "1")
+        assert enable_compilation_cache(d) is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
