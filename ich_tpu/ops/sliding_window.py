@@ -273,12 +273,17 @@ def sliding_window_inference(
     volume: jax.Array,
     patch_size: Sequence[int] = (128, 128, 128),
     overlap: float = 0.5,
-    batch_size: int = 4,
+    batch_size: int | None = None,
     compute_dtype=None,
 ) -> jax.Array:
     """Segment a (D, H, W[, C]) volume with Gaussian-blended overlapping
     patches. ``apply_fn(variables, batch)`` maps (B, pd, ph, pw, C) →
     (B, pd, ph, pw, C_out) probabilities. Returns (D, H, W, C_out) float32.
+
+    ``batch_size=None`` resolves to 128 for coset-eligible patch sizes
+    (network-call cost on v5e is quantized in ~128-patch units — b=32..128
+    cost the same, so big chunks are ~2× over small ones for free; measured
+    round 3, docs/BENCHMARKS.md) and 4 on the big-patch scan path (HBM).
 
     When the stride ``patch*(1-overlap)`` divides the patch size (e.g. the
     standard 0.5 overlap), dispatches to the coset-reshape fast path
@@ -305,6 +310,8 @@ def sliding_window_inference(
     # the compile itself runs for minutes before failing. Big patches go
     # through the scan path, which compiles the network exactly once.
     coset_ok = int(np.prod(patch_size)) <= 2 ** 20  # <= 101^3 voxels
+    if batch_size is None:
+        batch_size = 128 if coset_ok else 4
     if coset_ok and all(p % s == 0 for p, s in zip(patch_size, strides)):
         # pad so every axis satisfies (dim - patch) % stride == 0 and dim >= patch
         dims = (d, h, w)

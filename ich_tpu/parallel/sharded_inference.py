@@ -36,7 +36,7 @@ def sliding_window_inference_sharded(
     mesh: Mesh,
     patch_size: Sequence[int] = (64, 64, 64),
     overlap: float = 0.5,
-    batch_size: int = 8,
+    batch_size: int | None = None,
     axis_name: str = "data",
 ) -> jax.Array:
     """Shard a (D, H, W[, C]) volume's H axis over ``mesh[axis_name]`` and
@@ -55,6 +55,8 @@ def sliding_window_inference_sharded(
     pd, ph, pw = patch_size
     sd, sh, sw = strides
     halo = ph - sh
+    if batch_size is None:
+        batch_size = 128  # the v5e network-call cost quantum (BENCHMARKS.md)
 
     # pad: D/W to the coset grid, H to a multiple of n_dev*sh with slab >= ph
     def pad_to_grid(dim, p, s):
@@ -110,7 +112,7 @@ def sliding_window_inference_volume_parallel(
     mesh: Mesh,
     patch_size: Sequence[int] = (64, 64, 64),
     overlap: float = 0.5,
-    batch_size: int = 8,
+    batch_size: int | None = None,
     axis_name: str = "data",
 ) -> jax.Array:
     """Volume-parallel serving scale-out: a (N, D, H, W[, C]) stack of

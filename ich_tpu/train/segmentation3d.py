@@ -109,7 +109,7 @@ class UNet3D(UNet2D):
         steps_per_epoch: int = 100,
         pos_frac: float = 0.5,
         sw_overlap: float = 0.5,
-        sw_batch_size: int = 4,
+        sw_batch_size: Optional[int] = None,
         on_device_sampling="auto",
         **kwargs,
     ):
@@ -118,6 +118,9 @@ class UNet3D(UNet2D):
         self.steps_per_epoch_cfg = steps_per_epoch
         self.pos_frac = pos_frac
         self.sw_overlap = sw_overlap
+        # None → resolved by sliding_window_inference: 128-patch chunks on
+        # the coset path (the v5e cost quantum — docs/BENCHMARKS.md), 4 on
+        # the big-patch scan path.
         self.sw_batch_size = sw_batch_size
         # "auto": HBM-resident jitted patch sampling when the padded volume
         # stack fits a conservative budget; True/False force it on/off

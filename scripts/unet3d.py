@@ -48,7 +48,7 @@ def main(config_path):
         n_epoch=tr["n_epoch"], batch_size=tr["batch_size"], lr=tr["lr"],
         loss_fn=tr.get("loss_fn", "BinaryDiceLoss"),
         loss_fn_kwargs=tr.get("loss_fn_kwargs", {"reduction": "mean", "p": 2, "alpha": 0.2}),
-        sw_overlap=tr.get("sw_overlap", 0.5), sw_batch_size=tr.get("sw_batch_size", 8),
+        sw_overlap=tr.get("sw_overlap", 0.5), sw_batch_size=tr.get("sw_batch_size"),
         seed=cfg.get("seed", 42),
     )
     out_dir = os.path.join(cfg["path"]["OUTPUT"], cfg["exp_name"])
