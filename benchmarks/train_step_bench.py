@@ -46,7 +46,7 @@ def step_flops(step, *args):
     return compiled_flops(step, *args)
 
 
-def bench_2d(peak):
+def bench_2d(peak, batch=16):
     import jax
     import jax.numpy as jnp
 
@@ -62,18 +62,18 @@ def bench_2d(peak):
         "Scale": {"low": 0.9, "high": 1.1},
         "HFlip": {},
     })
-    tr = UNet2D(net, n_epoch=1, batch_size=16, lr=1e-3, loss_fn="BinaryDiceLoss",
+    tr = UNet2D(net, n_epoch=1, batch_size=batch, lr=1e-3, loss_fn="BinaryDiceLoss",
                 loss_fn_kwargs={"reduction": "mean"}, augment_fn=augment)
     tr._ensure_state((256, 256), steps_per_epoch=100)
     step = tr._make_train_step()
     rng = np.random.default_rng(0)
-    imgs = jnp.asarray(rng.uniform(size=(16, 256, 256)).astype(np.float32))
-    masks = jnp.asarray((rng.uniform(size=(16, 256, 256)) > 0.98).astype(np.float32))
+    imgs = jnp.asarray(rng.uniform(size=(batch, 256, 256)).astype(np.float32))
+    masks = jnp.asarray((rng.uniform(size=(batch, 256, 256)) > 0.98).astype(np.float32))
     key = jax.random.PRNGKey(0)
     flops = step_flops(step, tr.state, imgs, masks, key)
     dt = time_steps(step, tr.state, imgs, masks, key)
     entry = {"ms_per_step": round(dt * 1e3, 2),
-             "slices_per_s": round(16 / dt, 1)}
+             "slices_per_s": round(batch / dt, 1)}
     if flops is not None:
         entry["tflops"] = round(flops / dt / 1e12, 2)
         if peak:
@@ -294,7 +294,10 @@ def main():
             print(name, json.dumps(out[name]), flush=True)
         print(json.dumps(out))
         return
-    jobs = [("train2d_bs16_256", lambda: bench_2d(peak))]
+    jobs = [("train2d_bs16_256", lambda: bench_2d(peak)),
+            # throughput-optimal batch (saturates ~28% MFU; round-3 probe:
+            # bs16/32/64/128/256 -> 390/420/599/934/925 slices/s)
+            ("train2d_bs128_256", lambda: bench_2d(peak, batch=128))]
     if not args.skip_3d:
         jobs += [("train3d_bs8_64", lambda: bench_3d(peak, 64, 8)),
                  # throughput-optimal batch (2.7x the bs8 Mvox/s, round-3
