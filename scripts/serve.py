@@ -1,0 +1,122 @@
+"""Watch-folder inference server: segment NIfTI volumes as they arrive.
+
+Production serving companion to ``segment_brain.py``/``unet3d.py``: polls
+``--watch-dir`` for new ``.nii``/``.nii.gz`` files, runs pipelined
+full-volume segmentation (2.5D slice-wise or 3D sliding-window), writes
+``<name>_mask.nii.gz`` to ``--output-dir`` and a ``<name>.done`` marker.
+Crash-safe hand-off: masks are written to a temp name and renamed, and a
+volume is only marked done after its mask is on disk, so a restarted
+server (warm via the persistent compile cache; no reference equivalent —
+the reference's torch pipeline has no server mode) re-processes exactly
+the unfinished files.
+
+Examples::
+
+    python scripts/serve.py --watch-dir /in --output-dir /out \
+        --model model.pkl --mode 2.5d --size 256
+    python scripts/serve.py --watch-dir /in --output-dir /out \
+        --model model.pkl --mode 3d --patch 64 --once   # drain and exit
+"""
+
+import os
+import time
+
+import click
+
+from _common import setup_logger
+
+
+def _pending(watch_dir: str, output_dir: str):
+    """Unprocessed volume paths (sorted for deterministic order)."""
+    out = []
+    for fn in sorted(os.listdir(watch_dir)):
+        if not (fn.endswith(".nii") or fn.endswith(".nii.gz")):
+            continue
+        name = fn.replace(".nii.gz", "").replace(".nii", "")
+        if not os.path.exists(os.path.join(output_dir, f"{name}.done")):
+            out.append(os.path.join(watch_dir, fn))
+    return out
+
+
+def _build_trainer(mode, model_path, depth, top_filter, size, patch):
+    import jax.numpy as jnp
+
+    from ich_tpu.models import UNet
+
+    if mode == "2.5d":
+        from ich_tpu.train import UNet2D
+
+        tr = UNet2D(UNet(depth=depth, top_filter=top_filter, p_dropout=0.0))
+        tr.load_model(model_path, image_shape=(size, size))
+    else:
+        from ich_tpu.train import UNet3D
+
+        tr = UNet3D(
+            UNet(depth=depth, ndim=3, top_filter=top_filter, p_dropout=0.0,
+                 norm="group", dtype=jnp.bfloat16),
+            patch_size=(patch,) * 3,
+        )
+        tr.load_model(model_path, image_shape=(patch,) * 3)
+    return tr
+
+
+@click.command()
+@click.option("--watch-dir", required=True, type=click.Path(exists=True))
+@click.option("--output-dir", "-o", required=True, type=click.Path())
+@click.option("--model", "-m", "model_path", required=True, type=click.Path(exists=True))
+@click.option("--mode", type=click.Choice(["2.5d", "3d"]), default="2.5d")
+@click.option("--depth", default=5, type=int)
+@click.option("--top-filter", default=32, type=int)
+@click.option("--size", default=256, type=int, help="2.5d network input size")
+@click.option("--patch", default=64, type=int, help="3d sliding-window patch")
+@click.option("--win-center", default=50.0, type=float)
+@click.option("--win-width", default=200.0, type=float)
+@click.option("--poll-s", default=2.0, type=float)
+@click.option("--once", is_flag=True, help="drain the current backlog and exit")
+def main(watch_dir, output_dir, model_path, mode, depth, top_filter, size,
+         patch, win_center, win_width, poll_s, once):
+    logger = setup_logger()
+    from ich_tpu.data import nifti
+
+    os.makedirs(output_dir, exist_ok=True)
+    trainer = _build_trainer(mode, model_path, depth, top_filter, size, patch)
+    logger.info("serving %s -> %s (%s)", watch_dir, output_dir, mode)
+
+    while True:
+        batch = _pending(watch_dir, output_dir)
+        if not batch:
+            if once:
+                break
+            time.sleep(poll_s)
+            continue
+        names = [os.path.basename(p).replace(".nii.gz", "").replace(".nii", "")
+                 for p in batch]
+        affines, tmp_fns = [], [os.path.join(output_dir, f".{n}_mask.tmp.nii.gz")
+                                for n in names]
+
+        def stream():
+            for vp in batch:
+                vol, affine, _ = nifti.load(vp)
+                affines.append(affine)
+                yield vol
+
+        t0 = time.time()
+        trainer.segment_volumes(
+            stream(), affines=affines, save_fns=tmp_fns,
+            window=(win_center, win_width), input_size=(size, size),
+        )
+        for name, tmp in zip(names, tmp_fns):
+            final = os.path.join(output_dir, f"{name}_mask.nii.gz")
+            os.replace(tmp, final)
+            # done-marker AFTER the mask rename: a crash in between re-runs
+            # the volume, never hands off a missing mask
+            with open(os.path.join(output_dir, f"{name}.done"), "w") as f:
+                f.write(final + "\n")
+            click.echo(f"{name} -> {final}")
+        logger.info("served %d volume(s) in %.1fs", len(batch), time.time() - t0)
+        if once and not _pending(watch_dir, output_dir):
+            break
+
+
+if __name__ == "__main__":
+    main()

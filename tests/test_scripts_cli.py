@@ -199,3 +199,36 @@ def test_figures_explore_metadata_and_gif(tmp_path):
     assert r.exit_code == 0, r.output
     assert os.path.getsize(os.path.join(out_dir, "metadata_stat.pdf")) > 2000
     assert os.path.getsize(os.path.join(out_dir, f"{pid}_CT.gif")) > 1000
+
+
+def test_serve_cli_once(nifti_dataset, tmp_path):
+    """Watch-folder server: drain a backlog with --once, idempotent restart."""
+    import serve
+
+    from ich_tpu.models import UNet
+    from ich_tpu.train import UNet2D
+
+    model_fn = str(tmp_path / "served_model.bin")
+    tr = UNet2D(UNet(depth=3, top_filter=4, p_dropout=0.0))
+    tr._ensure_state((32, 32))
+    tr.save_model(model_fn)
+
+    out_dir = str(tmp_path / "served")
+    args = ["--watch-dir", str(nifti_dataset / "ct_scans"), "-o", out_dir,
+            "-m", model_fn, "--mode", "2.5d", "--depth", "3",
+            "--top-filter", "4", "--size", "32", "--once"]
+    r = CliRunner().invoke(serve.main, args)
+    assert r.exit_code == 0, r.output
+
+    from ich_tpu.data import nifti
+
+    for pid in (1, 2, 3):
+        mask_fn = os.path.join(out_dir, f"{pid:03}_mask.nii.gz")
+        assert os.path.exists(mask_fn)
+        assert os.path.exists(os.path.join(out_dir, f"{pid:03}.done"))
+        pred, _, _ = nifti.load(mask_fn)
+        assert pred.shape == (32, 32, 8)
+    # restart with everything done: serves nothing, exits immediately
+    r = CliRunner().invoke(serve.main, args)
+    assert r.exit_code == 0, r.output
+    assert "_mask.nii.gz" not in r.output  # no per-volume serve lines
