@@ -22,6 +22,7 @@ import os
 import time
 
 import click
+import numpy as np
 
 from _common import setup_logger
 
@@ -96,15 +97,24 @@ def main(watch_dir, output_dir, model_path, mode, depth, top_filter, size,
 
         def stream():
             for vp in batch:
-                vol, affine, _ = nifti.load(vp)
+                vol, affine, _ = nifti.load(vp)  # NIfTI layout: (H, W, D)
                 affines.append(affine)
-                yield vol
+                # the 3D trainer consumes (D, H, W) (the loader convention,
+                # ich_tpu/data/datasets.py); 2.5D takes (H, W, D) directly
+                yield np.transpose(vol, (2, 0, 1)) if mode == "3d" else vol
 
         t0 = time.time()
-        trainer.segment_volumes(
-            stream(), affines=affines, save_fns=tmp_fns,
-            window=(win_center, win_width), input_size=(size, size),
-        )
+        if mode == "3d":
+            preds = trainer.segment_volumes(
+                stream(), window=(win_center, win_width), return_preds=True,
+            )
+            for pred, affine, tmp in zip(preds, affines, tmp_fns):
+                nifti.save(tmp, np.transpose(pred, (1, 2, 0)), affine)
+        else:
+            trainer.segment_volumes(
+                stream(), affines=affines, save_fns=tmp_fns,
+                window=(win_center, win_width), input_size=(size, size),
+            )
         for name, tmp in zip(names, tmp_fns):
             final = os.path.join(output_dir, f"{name}_mask.nii.gz")
             os.replace(tmp, final)

@@ -232,3 +232,30 @@ def test_serve_cli_once(nifti_dataset, tmp_path):
     r = CliRunner().invoke(serve.main, args)
     assert r.exit_code == 0, r.output
     assert "_mask.nii.gz" not in r.output  # no per-volume serve lines
+
+
+def test_serve_cli_3d_mode(nifti_dataset, tmp_path):
+    """3D sliding-window serving keeps the NIfTI (H, W, D) orientation."""
+    import serve
+
+    from ich_tpu.models import UNet
+    from ich_tpu.train import UNet3D
+
+    model_fn = str(tmp_path / "served3d.bin")
+    net = UNet(depth=2, ndim=3, top_filter=4, p_dropout=0.0, norm="group")
+    tr = UNet3D(net, patch_size=(8, 16, 16))
+    tr._ensure_state((8, 16, 16))
+    tr.save_model(model_fn)
+
+    out_dir = str(tmp_path / "served3d_out")
+    r = CliRunner().invoke(serve.main, [
+        "--watch-dir", str(nifti_dataset / "ct_scans"), "-o", out_dir,
+        "-m", model_fn, "--mode", "3d", "--depth", "2", "--top-filter", "4",
+        "--patch", "8", "--once"])
+    assert r.exit_code == 0, r.output
+
+    from ich_tpu.data import nifti
+
+    pred, _, _ = nifti.load(os.path.join(out_dir, "001_mask.nii.gz"))
+    assert pred.shape == (32, 32, 8)  # same orientation as the input file
+    assert set(np.unique(pred)) <= {0, 255}
