@@ -75,12 +75,16 @@ class DevicePatchSampler:
             d, h, w = v.shape
             vols[i, :d, :h, :w] = v
             m = np.asarray(m)
-            uniq = np.unique(m)
-            if not np.isin(uniq, (0, 1)).all():
+            # binary contract: {0, c} for one positive value c (0/1, 0/255,
+            # ...) binarizes exactly like the host path's foreground test;
+            # truly graded/multi-label masks must keep their values, which
+            # only the host sampler preserves. Single pass, no unique/sort.
+            mmax = m.max() if m.size else 0
+            if mmax and not ((m == 0) | (m == mmax)).all():
                 raise ValueError(
-                    "DevicePatchSampler requires binary masks (got values "
-                    f"{uniq[:8]}); graded/multi-label masks must use the "
-                    "host sampler (sample_patches)."
+                    "DevicePatchSampler requires binary masks (one positive "
+                    "value); graded/multi-label masks must use the host "
+                    "sampler (sample_patches)."
                 )
             msks[i, :d, :h, :w] = (m > 0).astype(np.uint8)
             pos = np.stack(np.nonzero(msks[i]), axis=1).astype(np.int32)

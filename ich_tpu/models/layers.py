@@ -96,7 +96,9 @@ class FlatGroupNorm(nn.Module):
         ch_sq = jnp.mean(jnp.square(xf), axis=red)
         gm = jnp.mean(ch_mean.reshape(-1, g, c // g), axis=-1)  # (B, g)
         gs = jnp.mean(ch_sq.reshape(-1, g, c // g), axis=-1)
-        var = gs - jnp.square(gm)
+        # E[x^2] - E[x]^2 can cancel negative in f32 for near-constant
+        # large-magnitude activations -> rsqrt NaN; nn.GroupNorm clamps too
+        var = jnp.maximum(gs - jnp.square(gm), 0.0)
         # broadcast group stats back to channels (tiny, (B, g) -> (B, C))
         mu_c = jnp.repeat(gm, c // g, axis=-1)
         rs_c = jnp.repeat(jax.lax.rsqrt(var + self.epsilon), c // g, axis=-1)

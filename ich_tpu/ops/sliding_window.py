@@ -310,9 +310,13 @@ def sliding_window_inference(
     # the compile itself runs for minutes before failing. Big patches go
     # through the scan path, which compiles the network exactly once.
     coset_ok = int(np.prod(patch_size)) <= 2 ** 20  # <= 101^3 voxels
+    use_coset = coset_ok and all(p % s == 0 for p, s in zip(patch_size, strides))
     if batch_size is None:
-        batch_size = 128 if coset_ok else 4
-    if coset_ok and all(p % s == 0 for p, s in zip(patch_size, strides)):
+        # 128 only where the coset path's exact-shape chunks make big
+        # batches free; the scan path pads the patch count to a batch
+        # multiple, so a big default there executes dead patches
+        batch_size = 128 if use_coset else 4
+    if use_coset:
         # pad so every axis satisfies (dim - patch) % stride == 0 and dim >= patch
         dims = (d, h, w)
         pads = []

@@ -57,6 +57,24 @@ def _rotation_affine(key, batch: int, low: float, high: float):
     return m, jnp.zeros((batch, 2))
 
 
+def _mask_warp_inplane(mask, m, o, rotation_bound_deg: float):
+    """Order-0 in-plane mask warp under the same policy as the 2D path
+    (:func:`ich_tpu.ops.warp.mask_warp_method`): the two-pass matmul on TPU
+    while the static rotation bound stays away from vertical, the exact
+    per-slab nearest gather otherwise (wide-angle configs, other
+    platforms)."""
+    from ich_tpu.ops.warp import affine_warp, inplane_warp_matmul, mask_warp_method
+
+    if mask_warp_method(rotation_bound_deg) == "matmul":
+        return inplane_warp_matmul(mask, m, o, order=0)
+    b, d = mask.shape[:2]
+    slabs = mask.reshape((b * d,) + mask.shape[2:])  # (B*D, H, W[, C])
+    m_s = jnp.repeat(m, d, axis=0)
+    o_s = jnp.repeat(o, d, axis=0)
+    out = affine_warp(slabs, m_s, o_s, order=0, method="gather")
+    return out.reshape(mask.shape)
+
+
 class RotateInPlane:
     """Random (H, W)-plane rotation of a volume batch: one angle per
     sample, identical across depth (the anatomically sensible 3D analog of
@@ -72,7 +90,8 @@ class RotateInPlane:
         m, o = _rotation_affine(key, b, self.low, self.high)
         out = inplane_warp_matmul(image, m, o, order=1)
         if mask is not None:
-            return out, inplane_warp_matmul(mask, m, o, order=0)
+            bound = max(abs(self.low), abs(self.high))
+            return out, _mask_warp_inplane(mask, m, o, bound)
         return out
 
     def __str__(self):
@@ -103,7 +122,8 @@ class AffineAugment3D:
         m, o = compose_affine(m, o, m_flip, jnp.zeros((b, 2)))
         out = inplane_warp_matmul(image, m, o, order=1)
         if mask is not None:
-            return out, inplane_warp_matmul(mask, m, o, order=0)
+            bound = max(abs(self.rotate[0]), abs(self.rotate[1]))
+            return out, _mask_warp_inplane(mask, m, o, bound)
         return out
 
     def __str__(self):

@@ -27,15 +27,32 @@ import numpy as np
 from _common import setup_logger
 
 
-def _pending(watch_dir: str, output_dir: str):
-    """Unprocessed volume paths (sorted for deterministic order)."""
+MAX_BATCH = 16  # volumes decoded per serve cycle (bounds host memory)
+MAX_RETRIES = 3  # decode failures before a file is quarantined (.failed)
+
+
+def _pending(watch_dir: str, output_dir: str, settle_s: float = 0.0):
+    """Unprocessed volume paths (sorted for deterministic order). Files
+    modified less than ``settle_s`` ago are skipped — an uploader may still
+    be writing them (the guard is advisory; a torn file that slips through
+    is caught by the per-file decode isolation + quarantine below)."""
     out = []
+    now = time.time()
     for fn in sorted(os.listdir(watch_dir)):
         if not (fn.endswith(".nii") or fn.endswith(".nii.gz")):
             continue
         name = fn.replace(".nii.gz", "").replace(".nii", "")
-        if not os.path.exists(os.path.join(output_dir, f"{name}.done")):
-            out.append(os.path.join(watch_dir, fn))
+        if os.path.exists(os.path.join(output_dir, f"{name}.done")):
+            continue
+        if os.path.exists(os.path.join(output_dir, f"{name}.failed")):
+            continue
+        path = os.path.join(watch_dir, fn)
+        try:
+            if settle_s and now - os.path.getmtime(path) < settle_s:
+                continue
+        except OSError:
+            continue  # raced with a delete
+        out.append(path)
     return out
 
 
@@ -84,35 +101,64 @@ def main(watch_dir, output_dir, model_path, mode, depth, top_filter, size,
     logger.info("serving %s -> %s (%s)", watch_dir, output_dir, mode)
 
     while True:
-        batch = _pending(watch_dir, output_dir)
+        batch = _pending(watch_dir, output_dir,
+                         settle_s=0.0 if once else min(poll_s, 2.0))[:MAX_BATCH]
         if not batch:
             if once:
                 break
             time.sleep(poll_s)
             continue
-        names = [os.path.basename(p).replace(".nii.gz", "").replace(".nii", "")
-                 for p in batch]
-        affines, tmp_fns = [], [os.path.join(output_dir, f".{n}_mask.tmp.nii.gz")
-                                for n in names]
 
-        def stream():
-            for vp in batch:
+        # decode up front with per-file isolation: one torn/corrupt upload
+        # must not take down the server or wedge the queue. After
+        # MAX_RETRIES decode failures a file is quarantined via a .failed
+        # marker (delete it to retry).
+        names, vols, affines = [], [], []
+        for vp in batch:
+            name = os.path.basename(vp).replace(".nii.gz", "").replace(".nii", "")
+            retry_fn = os.path.join(output_dir, f"{name}.retries")
+            try:
                 vol, affine, _ = nifti.load(vp)  # NIfTI layout: (H, W, D)
-                affines.append(affine)
-                # the 3D trainer consumes (D, H, W) (the loader convention,
-                # ich_tpu/data/datasets.py); 2.5D takes (H, W, D) directly
-                yield np.transpose(vol, (2, 0, 1)) if mode == "3d" else vol
+            except Exception as e:
+                # persist the retry count so quarantine survives restarts
+                try:
+                    n_fail = int(open(retry_fn).read().strip()) + 1
+                except (OSError, ValueError):
+                    n_fail = 1
+                with open(retry_fn, "w") as f:
+                    f.write(str(n_fail))
+                logger.warning("decode failed (%d/%d) for %s: %s",
+                               n_fail, MAX_RETRIES, vp, e)
+                if n_fail >= MAX_RETRIES:
+                    with open(os.path.join(output_dir, f"{name}.failed"), "w") as f:
+                        f.write(f"{type(e).__name__}: {e}\n")
+                    os.remove(retry_fn)
+                    logger.error("quarantined %s (.failed marker)", vp)
+                continue
+            if os.path.exists(retry_fn):
+                os.remove(retry_fn)
+            names.append(name)
+            affines.append(affine)
+            # the 3D trainer consumes (D, H, W) (the loader convention,
+            # ich_tpu/data/datasets.py); 2.5D takes (H, W, D) directly
+            vols.append(np.transpose(vol, (2, 0, 1)) if mode == "3d" else vol)
+        if not names:
+            if once:
+                break
+            time.sleep(poll_s)
+            continue
+        tmp_fns = [os.path.join(output_dir, f".{n}_mask.tmp.nii.gz") for n in names]
 
         t0 = time.time()
         if mode == "3d":
             preds = trainer.segment_volumes(
-                stream(), window=(win_center, win_width), return_preds=True,
+                iter(vols), window=(win_center, win_width), return_preds=True,
             )
             for pred, affine, tmp in zip(preds, affines, tmp_fns):
                 nifti.save(tmp, np.transpose(pred, (1, 2, 0)), affine)
         else:
             trainer.segment_volumes(
-                stream(), affines=affines, save_fns=tmp_fns,
+                iter(vols), affines=affines, save_fns=tmp_fns,
                 window=(win_center, win_width), input_size=(size, size),
             )
         for name, tmp in zip(names, tmp_fns):
@@ -123,7 +169,7 @@ def main(watch_dir, output_dir, model_path, mode, depth, top_filter, size,
             with open(os.path.join(output_dir, f"{name}.done"), "w") as f:
                 f.write(final + "\n")
             click.echo(f"{name} -> {final}")
-        logger.info("served %d volume(s) in %.1fs", len(batch), time.time() - t0)
+        logger.info("served %d volume(s) in %.1fs", len(names), time.time() - t0)
         if once and not _pending(watch_dir, output_dir):
             break
 

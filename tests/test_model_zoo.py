@@ -184,6 +184,12 @@ def test_flat_group_norm_matches_flax():
     vb = m.init(KEY, xb)
     out = m.apply(vb, xb)
     assert out.dtype == jnp.bfloat16
+    # near-constant large-magnitude input: E[x^2]-E[x]^2 cancels negative in
+    # f32; the clamp keeps it finite (nn.GroupNorm behaves the same)
+    xc = jnp.asarray((300.0 + 1e-3 * rng.normal(size=(2, 8, 8, 16))).astype(np.float32))
+    mc = FlatGroupNorm(num_groups=2)
+    vc = mc.init(KEY, xc)
+    assert np.isfinite(np.asarray(mc.apply(vc, xc))).all()
 
 
 def test_unet_remat_equals_plain():

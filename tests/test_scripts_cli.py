@@ -259,3 +259,38 @@ def test_serve_cli_3d_mode(nifti_dataset, tmp_path):
     pred, _, _ = nifti.load(os.path.join(out_dir, "001_mask.nii.gz"))
     assert pred.shape == (32, 32, 8)  # same orientation as the input file
     assert set(np.unique(pred)) <= {0, 255}
+
+
+def test_serve_cli_corrupt_file_quarantined(nifti_dataset, tmp_path):
+    """A torn/corrupt upload must not crash the server: it is retried then
+    quarantined via a .failed marker while good files keep serving."""
+    import shutil
+
+    import serve
+
+    from ich_tpu.models import UNet
+    from ich_tpu.train import UNet2D
+
+    watch = tmp_path / "watch"
+    os.makedirs(watch)
+    shutil.copy(nifti_dataset / "ct_scans" / "001.nii", watch / "001.nii")
+    with open(watch / "corrupt.nii.gz", "wb") as f:
+        f.write(b"\x1f\x8b not a real gzip stream")
+
+    model_fn = str(tmp_path / "m.bin")
+    tr = UNet2D(UNet(depth=3, top_filter=4, p_dropout=0.0))
+    tr._ensure_state((32, 32))
+    tr.save_model(model_fn)
+
+    out_dir = str(tmp_path / "out")
+    args = ["--watch-dir", str(watch), "-o", out_dir, "-m", model_fn,
+            "--mode", "2.5d", "--depth", "3", "--top-filter", "4",
+            "--size", "32", "--once"]
+    for _ in range(serve.MAX_RETRIES):  # each --once pass retries the bad file
+        r = CliRunner().invoke(serve.main, args)
+        assert r.exit_code == 0, r.output
+    assert os.path.exists(os.path.join(out_dir, "001_mask.nii.gz"))
+    assert os.path.exists(os.path.join(out_dir, "001.done"))
+    assert os.path.exists(os.path.join(out_dir, "corrupt.failed"))
+    # quarantined file no longer selected
+    assert serve._pending(str(watch), out_dir) == []

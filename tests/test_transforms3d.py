@@ -141,3 +141,32 @@ def test_inplane_warp_matmul_channel_axis():
     np.testing.assert_allclose(withc[..., 0], base, atol=1e-6)
     two = np.asarray(inplane_warp_matmul(jnp.stack([vol, 2 * vol], -1), m, o, order=1))
     np.testing.assert_allclose(two[..., 1], 2 * base, atol=1e-5)
+
+
+def test_mask_warp_policy_wide_angles(monkeypatch):
+    """Wide rotation bounds route 3D mask warps to the exact nearest gather
+    even on TPU (the 2D mask_warp_method policy, applied in 3D)."""
+    import ich_tpu.ops.warp as warp
+    from ich_tpu.ops.transforms3d import RotateInPlane, _mask_warp_inplane
+
+    monkeypatch.setattr(warp, "_use_matmul_warp", lambda: True)  # pretend TPU
+
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.uniform(size=(2, 4, 16, 16)).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(size=(2, 4, 16, 16)) > 0.7).astype(np.float32))
+
+    # narrow bound -> matmul; wide bound -> gather (exact nearest)
+    assert warp.mask_warp_method(10.0) == "matmul"
+    assert warp.mask_warp_method(90.0) == "gather"
+
+    m, o = jnp.tile(jnp.eye(2), (2, 1, 1)), jnp.zeros((2, 2))
+    out_narrow = _mask_warp_inplane(mask, m, o, 10.0)
+    out_wide = _mask_warp_inplane(mask, m, o, 90.0)
+    # identity map: both paths must reproduce the mask exactly
+    np.testing.assert_array_equal(np.asarray(out_narrow), np.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(out_wide), np.asarray(mask))
+
+    # a real wide rotation keeps masks exactly binary through the gather path
+    r = RotateInPlane(low=80, high=80)
+    _, mw = r(jax.random.PRNGKey(0), vol, mask)
+    assert set(np.unique(np.asarray(mw))) <= {0.0, 1.0}
