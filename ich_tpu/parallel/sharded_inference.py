@@ -28,6 +28,86 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ich_tpu.ops.sliding_window import _sliding_window_coset_jit
 
+# compiled volume-parallel programs, keyed by (mesh, axis, round shape,
+# dtype, caller key); the stored body reference guards against a caller
+# reusing a key with a different body closure
+_VP_CACHE: dict = {}
+
+
+def volume_parallel_map(
+    body: Callable,
+    variables,
+    volumes: Sequence[np.ndarray],
+    mesh: Mesh,
+    axis_name: str = "data",
+    cache_key=None,
+    guard=None,
+    pipeline_depth: int = 2,
+):
+    """Map ``body(variables, vol) -> out_vol`` over same-shaped volumes,
+    one volume per device per round over ``mesh[axis_name]``.
+
+    The shared engine of every volume-parallel serving path (2.5D slice
+    stacks, 3D sliding windows): rounds of exactly ``n_dev`` volumes bound
+    device memory to one input + one output per chip regardless of the
+    request size, at most ``pipeline_depth`` rounds are in flight
+    (executions are in-order, so fetching the oldest round frees its
+    buffers), and the compiled shard_map program is memoized per
+    (mesh, shape, cache_key) so a long-running server pays one trace.
+
+    Yields one host ``np.ndarray`` per input volume, in order.
+    """
+    from ich_tpu.utils.pipeline import fetch_pipelined
+
+    n = len(volumes)
+    n_dev = mesh.shape[axis_name]
+    shape = tuple(volumes[0].shape)
+    dtype = np.asarray(volumes[0]).dtype
+
+    # a cache hit requires BOTH the hashable key and identity of the
+    # caller's stable closure object (``guard``, default the body itself):
+    # a fresh closure per call simply misses and re-traces — never a stale
+    # program for different logic
+    guard = body if guard is None else guard
+    key = (mesh, axis_name, shape, str(dtype), cache_key)
+    hit = _VP_CACHE.get(key)
+    if hit is not None and hit[0] is guard:
+        fn = hit[1]
+    else:
+        def local(variables, blk):  # blk: (1, ...) local volume
+            return body(variables, blk[0])[None]
+
+        fn = jax.jit(shard_map_fn(local, mesh, axis_name))
+        _VP_CACHE[key] = (guard, fn)
+
+    def rounds():
+        for i in range(0, n, n_dev):
+            chunk = [np.asarray(v) for v in volumes[i:i + n_dev]]
+            k = len(chunk)
+            if k < n_dev:  # pad the tail round by repeating the last volume
+                chunk = chunk + [chunk[-1]] * (n_dev - k)
+            stack = jax.device_put(
+                jnp.asarray(np.stack(chunk)),
+                NamedSharding(mesh, P(axis_name)),
+            )
+            yield k, fn(variables, stack)
+
+    for k, out in fetch_pipelined(rounds(), depth=pipeline_depth,
+                                  fetch=lambda t: (t[0], np.asarray(t[1]))):
+        for j in range(k):
+            yield out[j]
+
+
+def shard_map_fn(local: Callable, mesh: Mesh, axis_name: str):
+    """shard_map wrapper used by the volume-parallel paths: variables
+    replicated, leading axis sharded one-per-device."""
+    from jax import shard_map
+
+    return shard_map(
+        local, mesh=mesh, in_specs=(P(), P(axis_name)),
+        out_specs=P(axis_name), check_vma=False,
+    )
+
 
 def sliding_window_inference_sharded(
     apply_fn: Callable,
@@ -120,46 +200,31 @@ def sliding_window_inference_volume_parallel(
 
     Each device runs the *unmodified* single-volume program
     (:func:`ich_tpu.ops.sliding_window.sliding_window_inference`) on its
-    local volumes — zero collectives, linear scaling over ICI-attached
+    local volume — zero collectives, linear scaling over ICI-attached
     chips (the serving counterpart of batch-sharded training; the
     reference's torch pipeline segments volumes strictly serially,
-    ``UNet2D.py:272-314``). N is padded up to a multiple of the axis size
-    by repeating the last volume; padded outputs are dropped. With more
-    than one volume per device the local stack runs through ``lax.map``,
-    compiling the sliding-window program once.
+    ``UNet2D.py:272-314``). Runs through :func:`volume_parallel_map`:
+    rounds of ``n_dev`` volumes (device memory stays bounded at one
+    input + output per chip however large the request), pipelined
+    fetches, and a memoized compiled program across calls.
 
-    Returns (N, D, H, W, C_out) float32.
+    Returns (N, D, H, W, C_out) float32 (host).
     """
     from ich_tpu.ops.sliding_window import sliding_window_inference
 
-    if volumes.ndim == 4:
+    if hasattr(volumes, "ndim") and volumes.ndim == 4:
         volumes = volumes[..., None]
-    n, d, h, w, c = volumes.shape
-    n_dev = mesh.shape[axis_name]
-    n_pad = -(-n // n_dev) * n_dev
-    if n_pad != n:
-        volumes = jnp.concatenate(
-            [volumes, jnp.repeat(volumes[-1:], n_pad - n, axis=0)]
-        )
 
-    def local(vols_blk, variables):
-        single = lambda v: sliding_window_inference(
+    def body(variables, v):
+        return sliding_window_inference(
             apply_fn, variables, v,
             patch_size=patch_size, overlap=overlap, batch_size=batch_size,
         )
-        if vols_blk.shape[0] == 1:
-            return single(vols_blk[0])[None]
-        return jax.lax.map(single, vols_blk)
 
-    from jax import shard_map
-
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis_name), P()),
-        out_specs=P(axis_name),
-        check_vma=False,
-    )
-    vols_sharded = jax.device_put(volumes, NamedSharding(mesh, P(axis_name)))
-    out = jax.jit(fn)(vols_sharded, variables)
-    return out[:n]
+    vol_list = [np.asarray(v) for v in volumes]
+    outs = list(volume_parallel_map(
+        body, variables, vol_list, mesh, axis_name=axis_name,
+        cache_key=("sw_vp", tuple(patch_size), overlap, batch_size),
+        guard=apply_fn,
+    ))
+    return np.stack(outs)

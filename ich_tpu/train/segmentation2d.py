@@ -508,35 +508,28 @@ class UNet2D:
             and len(vol_list) > 1
             and all(v.shape == vol_list[0].shape for v in vol_list)
         ):
-            from jax import shard_map
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ich_tpu.parallel.sharded_inference import volume_parallel_map
 
             h, w, z = vol_list[0].shape
             z_pad = int(np.ceil(z / self.batch_size) * self.batch_size)
-            n = len(vol_list)
-            n_dev = int(np.prod(list(self.mesh.shape.values())))
-            n_pad = -(-n // n_dev) * n_dev
-            stack = np.zeros((n_pad, h, w, z_pad), dtype=np.float32)
-            for i, v in enumerate(vol_list):
-                stack[i, :, :, :z] = v
-            stack[n:] = stack[n - 1]
-            body = self._segvol_body((h, w), z_pad, tuple(input_size), window)
+            padded = [np.pad(v, ((0, 0), (0, 0), (0, z_pad - z))) for v in vol_list]
+            # memoize the per-config body so volume_parallel_map's program
+            # cache (keyed on body identity) hits across calls
+            body_cache = getattr(self, "_segvol_body_cache", None)
+            if body_cache is None:
+                body_cache = self._segvol_body_cache = {}
+            bkey = ((h, w), int(z_pad), tuple(input_size),
+                    tuple(window) if window is not None else None)
+            body = body_cache.get(bkey)
+            if body is None:
+                body = body_cache[bkey] = self._segvol_body(
+                    (h, w), z_pad, tuple(input_size), window)
             axis = next(iter(self.mesh.shape))
-
-            def local(variables, blk):  # (k, H, W, Zp) local volumes
-                return jax.lax.map(lambda v: body(variables, v), blk)
-
-            fn = shard_map(
-                local, mesh=self.mesh, in_specs=(P(), P(axis)),
-                out_specs=P(axis), check_vma=False,
-            )
-            dev_stack = jax.device_put(
-                jnp.asarray(stack), NamedSharding(self.mesh, P(axis))
-            )
-            out = jax.jit(fn)(variables, dev_stack)
             preds = []
-            for i in range(n):
-                pred = (np.asarray(out[i])[:, :, :z] * 255).astype(np.uint8)
+            for i, out_vol in enumerate(volume_parallel_map(
+                    body, variables, padded, self.mesh, axis_name=axis,
+                    cache_key=("segvol2d",) + bkey)):
+                pred = (out_vol[:, :, :z] * 255).astype(np.uint8)
                 if save_fns is not None and save_fns[i]:
                     from ich_tpu.data import nifti
 

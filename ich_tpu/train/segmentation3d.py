@@ -126,6 +126,10 @@ class UNet3D(UNet2D):
         # stack fits a conservative budget; True/False force it on/off
         self.on_device_sampling = on_device_sampling
         self.outputs["eval"]["iou"] = {"all": None, "positive": None}
+        # one stable eval closure: the volume-parallel program cache keys
+        # on its identity, so per-call lambdas would force a re-trace
+        unet_ref = self.unet
+        self._apply_eval = lambda v, x: unet_ref.apply(v, x, train=False)
 
     def _example_input(self, image_shape):
         return jnp.zeros((1,) + self.patch_size + (1,), dtype=jnp.float32)
@@ -283,7 +287,7 @@ class UNet3D(UNet2D):
         sliding_window_inference_volume_parallel`)."""
         net = self.unet
         variables = self._variables()
-        apply_fn = lambda v, x: net.apply(v, x, train=False)
+        apply_fn = self._apply_eval
 
         # only the mesh path needs the whole stack at once; the serial path
         # consumes `volumes` lazily (generator-friendly, O(pipeline_depth))
@@ -365,7 +369,7 @@ class UNet3D(UNet2D):
         vol: (D, H, W) preprocessed (windowed/resampled) volume."""
         net = self.unet
         variables = self._variables()
-        apply_fn = lambda v, x: net.apply(v, x, train=False)
+        apply_fn = self._apply_eval
         probs = sliding_window_inference(
             apply_fn, variables, jnp.asarray(vol, dtype=jnp.float32),
             patch_size=self.patch_size, overlap=self.sw_overlap,
@@ -399,7 +403,7 @@ class UNet3D(UNet2D):
 
         net = self.unet
         variables = self._variables()
-        apply_fn = lambda v, x: net.apply(v, x, train=False)
+        apply_fn = self._apply_eval
 
         def counts_iter():
             for vi in range(len(dataset)):
