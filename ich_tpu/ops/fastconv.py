@@ -40,8 +40,11 @@ _MODE = "auto"
 
 
 def set_packing(mode: str) -> None:
+    """"auto"/"off": direct conv; "on": depth-to-space lane packing;
+    "pallas": the implicit-GEMM kernel for qualifying C_out=16 3D convs
+    (:mod:`ich_tpu.ops.pallas_conv` — inference-only, no custom VJP)."""
     global _MODE
-    if mode not in ("auto", "on", "off"):
+    if mode not in ("auto", "on", "off", "pallas"):
         raise ValueError(f"unknown packing mode {mode!r}")
     _MODE = mode
 
@@ -181,6 +184,11 @@ def conv_same(
     """SAME stride-1 channels-last conv dispatching to the packed form when
     the shape qualifies and packing is active (TPU by default)."""
     n = x.ndim - 2
+    if _MODE == "pallas":
+        from ich_tpu.ops import pallas_conv
+
+        if pallas_conv.qualifies(x.shape, w.shape):
+            return pallas_conv.conv3d_same16(x, w)
     pack = (
         choose_pack(x.shape[1 : 1 + n], w.shape[:n], w.shape[-1], c_in=w.shape[-2])
         if packing_active()

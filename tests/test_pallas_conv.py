@@ -1,0 +1,55 @@
+"""Correctness of the implicit-GEMM pallas conv (interpret mode on CPU)
+against lax.conv_general_dilated, across the C_in shapes it accepts."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ich_tpu.ops import pallas_conv as pc
+
+
+@pytest.mark.parametrize("ci", [1, 8, 16, 32])
+def test_conv3d_same16_matches_xla(ci):
+    rng = np.random.default_rng(ci)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2, 5, 8, 16, ci)).astype(np.float32))
+    w = jnp.asarray((rng.uniform(-1, 1, size=(3, 3, 3, ci, 16)) * 0.2).astype(np.float32))
+    assert pc.qualifies(x.shape, w.shape)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = pc.conv3d_same16(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_qualifies_gates():
+    ok = (2, 5, 8, 16, 16)
+    wk = (3, 3, 3, 16, 16)
+    assert pc.qualifies(ok, wk)
+    assert not pc.qualifies((2, 5, 8, 12, 16), wk)       # W % 8 != 0
+    assert not pc.qualifies(ok, (3, 3, 3, 16, 32))       # C_out != 16
+    assert not pc.qualifies(ok, (5, 3, 3, 16, 16))       # kernel != 3^3
+    assert not pc.qualifies((2, 5, 8, 16, 64), (3, 3, 3, 64, 16))  # ci not in set
+    assert not pc.qualifies((2, 256, 256, 512, 16), (3, 3, 3, 16, 16))  # VMEM
+
+
+@pytest.mark.slow  # interpret-mode UNet forward ~90 s on CPU
+def test_pallas_mode_in_unet_forward():
+    """set_packing("pallas") routes qualifying convs inside the 3D U-Net;
+    forward output matches the direct-conv network."""
+    from ich_tpu.models import UNet
+    from ich_tpu.ops import fastconv
+
+    rng = np.random.default_rng(0)
+    net = UNet(depth=2, ndim=3, top_filter=16, p_dropout=0.0, norm="group")
+    x = jnp.asarray(rng.uniform(size=(1, 8, 8, 16, 1)).astype(np.float32))
+    v = net.init(jax.random.PRNGKey(0), x)
+    ref = net.apply(v, x, train=False)
+    fastconv.set_packing("pallas")
+    try:
+        got = net.apply(v, x, train=False)
+    finally:
+        fastconv.set_packing("auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
