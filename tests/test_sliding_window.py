@@ -121,3 +121,21 @@ def test_compute_dtype_bf16_close_to_f32():
                                  compute_dtype=jnp.bfloat16)
     assert b.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_auto_batch_resolution():
+    """batch_size=None: 128-patch chunks only when the coset path runs
+    (stride | patch); the scan path keeps small batches so non-0.5
+    overlaps don't pad the patch grid with 100+ dead network calls."""
+    vol = jnp.asarray(np.random.default_rng(3).uniform(size=(8, 24, 24)).astype(np.float32))
+    apply_fn = lambda v, x: x.astype(jnp.float32) * 0.5
+
+    # coset-eligible (overlap .5) and scan-path (overlap .25, 16 % 12 != 0)
+    a = sliding_window_inference(apply_fn, {}, vol, patch_size=(8, 16, 16),
+                                 overlap=0.5, batch_size=None)
+    b = sliding_window_inference(apply_fn, {}, vol, patch_size=(8, 16, 16),
+                                 overlap=0.25, batch_size=None)
+    for out in (a, b):
+        assert out.shape == (8, 24, 24, 1)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(vol)[..., None] * 0.5, atol=1e-5)
