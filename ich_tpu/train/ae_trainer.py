@@ -81,10 +81,16 @@ class AE(_SSLBase):
         lambda_holder = {"v": 0.0}
 
         def batches_fn(epoch):
-            # epoch-keyed GDL weight schedule (reference AE.py:99-103)
-            if str(epoch) in self.ep_GDL:
-                lambda_holder["v"] = self.ep_GDL[str(epoch)]
-                logger.info("Lambda GDL set to %s.", lambda_holder["v"])
+            # epoch-keyed GDL weight schedule (reference AE.py:99-103).
+            # Evaluated as "largest schedule key <= epoch" so a checkpoint
+            # resume past a schedule boundary replays the weight instead of
+            # silently training the rest of the run with the initial 0.0
+            past = [int(k) for k in self.ep_GDL if int(k) <= epoch]
+            if past:
+                v = float(self.ep_GDL[str(max(past))])
+                if v != lambda_holder["v"]:
+                    lambda_holder["v"] = v
+                    logger.info("Lambda GDL set to %s.", lambda_holder["v"])
             for idx in batch_indices(n, self.batch_size, shuffle=True, rng=host_rng, drop_last=True):
                 yield self._place(jnp.asarray(images[idx]))
 
@@ -107,18 +113,22 @@ class AE(_SSLBase):
         self.outputs["train"]["evolution"] = history
 
     def reconstruct(self, images: np.ndarray) -> np.ndarray:
-        net = self.net
-        variables = self._variables()
+        run = getattr(self, "_reconstruct_jit", None)
+        if run is None:  # one trace per trainer (weights passed as args)
+            net = self.net
 
-        @jax.jit
-        def run(x):
-            if x.ndim == 3:
-                x = x[..., None]
-            return net.apply(variables, x, train=False)
+            @jax.jit
+            def run(v, x):
+                if x.ndim == 3:
+                    x = x[..., None]
+                return net.apply(v, x, train=False)
+
+            self._reconstruct_jit = run
+        variables = self._variables()
 
         from ich_tpu.utils.pipeline import fetch_pipelined
 
-        dev = (run(jnp.asarray(images[idx]))
+        dev = (run(variables, jnp.asarray(images[idx]))
                for idx in batch_indices(len(images), self.batch_size, shuffle=False, pad_wrap=False))
         # image-sized outputs: small in-flight window keeps HBM O(depth)
         return np.concatenate(list(fetch_pipelined(dev, depth=4)), axis=0)[..., 0]

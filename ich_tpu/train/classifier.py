@@ -117,15 +117,19 @@ class _ClassifierBase(_SSLBase):
 
     def predict_scores(self, images: np.ndarray) -> np.ndarray:
         """Class scores for a stack of images (used by the AD gates)."""
-        net = self.net
         variables = self._variables()
-        scores_of = self._scores
+        run = getattr(self, "_predict_jit", None)
+        if run is None:  # one trace per trainer
+            net = self.net
+            scores_of = self._scores
 
-        @jax.jit
-        def run(v, x):
-            if x.ndim == 3:
-                x = x[..., None]
-            return scores_of(net.apply(v, x, train=False))
+            @jax.jit
+            def run(v, x):
+                if x.ndim == 3:
+                    x = x[..., None]
+                return scores_of(net.apply(v, x, train=False))
+
+            self._predict_jit = run
 
         from ich_tpu.utils.pipeline import fetch_pipelined
 

@@ -129,18 +129,23 @@ class FCDD(_SSLBase):
     # -- scoring / heatmaps ----------------------------------------------------
 
     def _score_fn(self):
-        net = self.net
+        """Per-call wrapper over a once-traced scoring program (weights as
+        arguments, memoized on the trainer)."""
+        base = getattr(self, "_score_jit", None)
+        if base is None:
+            net = self.net
+
+            @jax.jit
+            def base(v, x):
+                if x.ndim == 3:
+                    x = x[..., None]
+                s = net.apply(v, x, train=False)
+                a = jnp.sqrt(s.astype(jnp.float32) ** 2 + 1.0) - 1.0
+                return s, jnp.mean(a.reshape(a.shape[0], -1), axis=1)
+
+            self._score_jit = base
         variables = self._variables()
-
-        @jax.jit
-        def run(x):
-            if x.ndim == 3:
-                x = x[..., None]
-            s = net.apply(variables, x, train=False)
-            a = jnp.sqrt(s.astype(jnp.float32) ** 2 + 1.0) - 1.0
-            return s, jnp.mean(a.reshape(a.shape[0], -1), axis=1)
-
-        return run
+        return lambda x: base(variables, x)
 
     def anomaly_scores(self, images: np.ndarray) -> np.ndarray:
         """Per-slice anomaly score sum(sqrt(f^2+1)-1) (reference ``:172``)."""
@@ -155,21 +160,28 @@ class FCDD(_SSLBase):
         """Receptive-field Gaussian heatmaps at input resolution; optionally
         min/max-scaled with the dataset quantiles (reference
         ``generate_heatmap:242-253``)."""
-        net = self.net
         variables = self._variables()
         hw = images.shape[1:3]
-        std = self.gauss_std
+        cache = getattr(self, "_heatmap_jit", None)
+        if cache is None:
+            cache = self._heatmap_jit = {}
+        run = cache.get(hw)
+        if run is None:  # one trace per output size (weights as args)
+            net = self.net
+            std = self.gauss_std
 
-        @jax.jit
-        def run(x):
-            if x.ndim == 3:
-                x = x[..., None]
-            s = net.apply(variables, x, train=False)
-            return FCDD_CNN_VGG.heatmap(s, hw, std=std)
+            @jax.jit
+            def run(v, x):
+                if x.ndim == 3:
+                    x = x[..., None]
+                s = net.apply(v, x, train=False)
+                return FCDD_CNN_VGG.heatmap(s, hw, std=std)
+
+            cache[hw] = run
 
         from ich_tpu.utils.pipeline import fetch_pipelined
 
-        dev = (run(jnp.asarray(images[idx]))
+        dev = (run(variables, jnp.asarray(images[idx]))
                for idx in batch_indices(len(images), self.batch_size, shuffle=False, pad_wrap=False))
         heat = np.concatenate(list(fetch_pipelined(dev, depth=4)))[..., 0]
         if scale and self.min_max is not None:

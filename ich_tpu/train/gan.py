@@ -259,6 +259,13 @@ class SNPatchGAN:
             if checkpoint_path and (epoch + 1) % self.checkpoint_freq == 0:
                 ckpt.save_checkpoint_auto(checkpoint_path, self.state, epoch + 1, history)
                 logger.info("\tCheckpoint saved.")
+            from ich_tpu.utils import preemption
+
+            if preemption.requested():  # same contract as every other trainer
+                if checkpoint_path:
+                    ckpt.save_checkpoint_auto(checkpoint_path, self.state, epoch + 1, history)
+                logger.warning("Preemption: checkpointed after epoch %d.", epoch + 1)
+                break
         self.outputs["train"]["time"] = time.time() - start
         self.outputs["train"]["evolution"] = history
         logger.info("Finished training SN-PatchGAN in %s",
@@ -267,20 +274,29 @@ class SNPatchGAN:
     def inpaint(self, images: np.ndarray, masks: np.ndarray) -> np.ndarray:
         """Composite inpainting of (B, H, W[,1]) images on mask==1 regions —
         the inference entry used by the anomaly detector
-        (reference ``InpaintAnomalyDetector._inpaint:261-289``)."""
-        G = self.generator
-        variables = self._g_variables()
+        (reference ``InpaintAnomalyDetector._inpaint:261-289``).
 
-        @jax.jit
-        def run(imgs, msks):
-            if imgs.ndim == 3:
-                imgs = imgs[..., None]
-            if msks.ndim == 3:
-                msks = msks[..., None]
-            fine, _ = G.apply(variables, imgs, msks, train=False)
-            return imgs * (1 - msks) + fine * msks
+        The anomaly detector calls this hundreds of times per slice (one
+        per grid batch × transform × cleanup iteration): the jitted program
+        is built ONCE per trainer with the weights passed as arguments, so
+        every call after the first is a cache hit, not a re-trace."""
+        run = getattr(self, "_inpaint_jit", None)
+        if run is None:
+            G = self.generator
 
-        return np.asarray(run(jnp.asarray(images), jnp.asarray(masks)))
+            @jax.jit
+            def run(variables, imgs, msks):
+                if imgs.ndim == 3:
+                    imgs = imgs[..., None]
+                if msks.ndim == 3:
+                    msks = msks[..., None]
+                fine, _ = G.apply(variables, imgs, msks, train=False)
+                return imgs * (1 - msks) + fine * msks
+
+            self._inpaint_jit = run
+        return np.asarray(
+            run(self._g_variables(), jnp.asarray(images), jnp.asarray(masks))
+        )
 
     def validate(self, dataset, save_path: Optional[str] = None, epoch: int = 0):
         """Inpaint validation images (fixed masks from the dataset if

@@ -41,9 +41,12 @@ def make_grid_masks(shape: Tuple[int, int], hole_size=(32, 32), step: int = 4) -
     the same number of grids (reference ``_get_grid_mask:229-259``)."""
     h, w = shape
     hh, hw = hole_size
-    a = np.zeros(h // hh + 2)
+    # +3 tiles (not +2): when dim % hole exceeds the shift step, the
+    # largest shifted window runs past a +2 grid and the slices truncate
+    # to unequal shapes (np.stack crash at e.g. 63x63 holes 32 step 16)
+    a = np.zeros(h // hh + 3)
     a[::2] = 1
-    b = np.zeros(w // hw + 2)
+    b = np.zeros(w // hw + 3)
     b[::2] = 1
     grid = np.repeat(np.repeat(np.outer(a, b), hh, axis=0), hw, axis=1)
     masks = [

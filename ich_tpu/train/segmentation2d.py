@@ -187,6 +187,14 @@ class UNet2D:
         return train_step
 
     def _make_eval_step(self, return_pred: bool):
+        # memoized per return_pred: a fresh jit closure per evaluate() call
+        # misses jax's function-identity cache, re-tracing the eval program
+        # every validation epoch
+        cache = getattr(self, "_eval_step_cache", None)
+        if cache is None:
+            cache = self._eval_step_cache = {}
+        if return_pred in cache:
+            return cache[return_pred]
         net = self.unet
         chan_rank = 1 + self._spatial_ndim
 
@@ -204,6 +212,7 @@ class UNet2D:
                 return tn, fp, fn, tp, label, pred_bin[..., 0].astype(jnp.uint8)
             return tn, fp, fn, tp, label
 
+        cache[return_pred] = eval_step
         return eval_step
 
     # -- public API -----------------------------------------------------------
@@ -245,7 +254,10 @@ class UNet2D:
             from ich_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
             self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
-            batch_sh = batch_sharding(self.mesh, 3 if images.ndim == 3 else images.ndim)
+            batch_sh = batch_sharding(self.mesh, images.ndim)
+            # masks may be channel-less ((N, H, W) vs images (N, H, W, C)):
+            # a rank-specific sharding, or device_put raises on rank mismatch
+            mask_sh = batch_sharding(self.mesh, masks.ndim)
         start_time = time.time()
 
         for epoch in range(n_epoch_finished, self.n_epoch):
@@ -263,9 +275,7 @@ class UNet2D:
                     bi, bm = images[idx], masks[idx]
                 if batch_sh is not None:
                     bi = jax.device_put(bi, batch_sh)
-                    bm = jax.device_put(
-                        bm, batch_sh if bm.ndim == bi.ndim else batch_sh
-                    )
+                    bm = jax.device_put(bm, mask_sh)
                 self.state, loss = train_step(self.state, bi, bm, key)
                 losses.append(loss)
                 if self.print_progress:
@@ -418,7 +428,10 @@ class UNet2D:
             pred = jax.lax.map(apply_batch, x)  # (Zp/bs, bs, h, w)
             pred = pred.reshape(z_pad, *input_size)
             pred = jnp.transpose(pred, (1, 2, 0))  # (h, w, Zp)
-            pred = ct.resize_nearest(pred, (in_hw[0], in_hw[1], z_pad))
+            # still in the rot90 frame: resize to the ROTATED dims (W, H)
+            # so the rotate-back lands on the input's (H, W) — with (H, W)
+            # here a non-square volume came back transposed and stretched
+            pred = ct.resize_nearest(pred, (in_hw[1], in_hw[0], z_pad))
             return jnp.rot90(pred, axes=(1, 0))  # rotate back
 
         return run

@@ -157,6 +157,18 @@ class UNet3D(UNet2D):
         host_rng = np.random.default_rng(self.seed + n_epoch_finished)
         start_time = time.time()
 
+        batch_sh = None
+        if self.mesh is not None:
+            # data-parallel like the 2D trainer: params replicated, patch
+            # batches sharded over 'data' (XLA inserts the gradient psums).
+            # The device sampler draws on one chip; the device_put below
+            # respreads its batch over ICI, which is negligible next to a
+            # 3D train step.
+            from ich_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+            self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+            batch_sh = batch_sharding(self.mesh, 4)  # (B, D, H, W)
+
         sampler = None
         if self.on_device_sampling is not False:
             from ich_tpu.data import patch_sampler as ps
@@ -198,6 +210,9 @@ class UNet3D(UNet2D):
                         self.pos_frac,
                     )
                     imgs, msks = jnp.asarray(np_imgs), jnp.asarray(np_msks)
+                if batch_sh is not None:
+                    imgs = jax.device_put(imgs, batch_sh)
+                    msks = jax.device_put(msks, batch_sh)
                 self.state, loss = train_step(self.state, imgs, msks, key)
                 losses.append(loss)
             mean_loss = float(jnp.stack(losses).mean()) if losses else 0.0
@@ -285,6 +300,8 @@ class UNet3D(UNet2D):
         instead to the volume-parallel SPMD path (one CT per chip, zero
         collectives — :func:`ich_tpu.parallel.sharded_inference.
         sliding_window_inference_volume_parallel`)."""
+        if self.state is None:  # API mirror of UNet2D: self-initialize
+            self._ensure_state(self.patch_size)
         net = self.unet
         variables = self._variables()
         apply_fn = self._apply_eval
@@ -367,6 +384,8 @@ class UNet3D(UNet2D):
     def predict_volume(self, vol: np.ndarray, threshold: float = 0.5) -> np.ndarray:
         """Full-volume probability → binary mask via sliding window.
         vol: (D, H, W) preprocessed (windowed/resampled) volume."""
+        if self.state is None:  # API mirror of UNet2D: self-initialize
+            self._ensure_state(self.patch_size)
         net = self.unet
         variables = self._variables()
         apply_fn = self._apply_eval
@@ -401,6 +420,8 @@ class UNet3D(UNet2D):
         # fetched after the loop.
         from ich_tpu.utils.pipeline import fetch_pipelined
 
+        if self.state is None:  # API mirror of UNet2D: self-initialize
+            self._ensure_state(self.patch_size)
         net = self.unet
         variables = self._variables()
         apply_fn = self._apply_eval

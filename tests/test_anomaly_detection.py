@@ -364,3 +364,15 @@ def test_detect_saves_reference_artifacts(tmp_path):
     for fn in ("D0.png", "mA0.png", "im_corrected_0.png",
                "D1.png", "mA1.png", "im_corrected_1.png"):
         assert os.path.exists(os.path.join(out_dir, fn)), fn
+
+
+def test_make_grid_masks_non_multiple_shapes():
+    """Shapes where dim % hole > step used to truncate the shifted slices
+    to unequal sizes (np.stack crash); every pixel must be covered the
+    same number of times regardless."""
+    for shape, hole, step in [((63, 63), (32, 32), 16), ((31, 33), (32, 32), 16),
+                              ((50, 70), (16, 16), 4)]:
+        m = make_grid_masks(shape, hole_size=hole, step=step)
+        assert m.shape[1:] == shape
+        cov = m.sum(axis=0)
+        assert cov.min() == cov.max() > 0

@@ -210,3 +210,39 @@ def test_device_cached_dataset_training(data):
     t = _trainer(n_epoch=1)
     t.train(cached)
     assert np.isfinite(t.outputs["train"]["evolution"][0][1])
+
+
+def test_segment_volume_non_square():
+    """Non-square volumes must come back in the input (H, W) frame: the
+    resize-back inside the rot90 frame used (H, W) instead of the rotated
+    (W, H), transposing + stretching every non-square prediction."""
+    rng = np.random.default_rng(5)
+    vol = rng.uniform(-50, 150, size=(48, 24, 8)).astype(np.float32)
+    t = _trainer(batch_size=8)
+    out = t.segment_volume(vol, window=(50, 200), input_size=(32, 32),
+                           return_pred=True)
+    assert out.shape == vol.shape
+    assert set(np.unique(out)) <= {0, 255}
+
+    # orientation check with an asymmetric "everything positive" net: mark
+    # one corner region of the input, predict with a threshold-like body,
+    # and require the output stays in the same corner of the SAME frame
+    from ich_tpu.ops import ct as ct_ops
+
+    probs = np.zeros((48, 24, 8), np.float32)
+    probs[:12, :, :] = 1.0  # top band along H
+
+    class _Net:
+        def apply(self_, variables, xb, train=False):
+            # predict 1 where input > 0.5 (identity-ish segmentation)
+            return (xb[..., :1] > 0.5).astype(np.float32)
+
+    old_net = t.unet
+    t.unet = _Net()
+    try:
+        body2 = t._segvol_body((48, 24), 8, (32, 32), None)
+        out2 = np.asarray(body2(t._variables(), jnp.asarray(probs)))
+    finally:
+        t.unet = old_net
+    assert out2.shape == (48, 24, 8)
+    assert out2[:10].mean() > 0.8 and out2[16:].mean() < 0.2
