@@ -44,7 +44,12 @@ def batch_indices(
     rem = n - full
     if rem and not drop_last:
         if pad_wrap:
-            yield np.concatenate([order[full:], order[: batch_size - rem]])
+            # tile until the pad is covered: with n < batch_size/2 a single
+            # wrap (order[:batch_size-rem]) is too short and the "exactly
+            # batch_size" static-shape contract breaks
+            reps = int(np.ceil((batch_size - rem) / n)) + 1
+            wrapped = np.tile(order, reps)[: batch_size - rem]
+            yield np.concatenate([order[full:], wrapped])
         else:
             yield order[full:]
 

@@ -61,6 +61,10 @@ def _quaternion_affine(hdr: dict) -> np.ndarray:
 def read_header(path: str) -> dict:
     with _open(path, "rb") as f:
         raw = f.read(HEADER_SIZE)
+    return _parse_header(raw, path)
+
+
+def _parse_header(raw: bytes, path: str) -> dict:
     if len(raw) < HEADER_SIZE:
         raise ValueError(f"{path}: truncated NIfTI header")
     sizeof_hdr = struct.unpack("<i", raw[0:4])[0]
@@ -116,21 +120,30 @@ def load(
     slope/intercept are applied (→ float32) when present, matching
     ``nibabel.get_fdata`` semantics.
     """
-    hdr = read_header(path)
-    ndim = hdr["dim"][0]
-    shape = tuple(int(s) for s in hdr["dim"][1 : 1 + ndim])
-    np_dtype = _DTYPES.get(hdr["datatype"])
-    if np_dtype is None:
-        raise ValueError(f"{path}: unsupported NIfTI datatype {hdr['datatype']}")
-    count = int(np.prod(shape))
+    # one pass over the (possibly gzip) stream: header, skip to
+    # vox_offset, voxels — a separate read_header() + seek() decompresses
+    # a .nii.gz from the start twice per volume
     with _open(path, "rb") as f:
-        f.seek(int(hdr["vox_offset"]))
+        hdr = _parse_header(f.read(HEADER_SIZE), path)
+        ndim = hdr["dim"][0]
+        shape = tuple(int(s) for s in hdr["dim"][1 : 1 + ndim])
+        np_dtype = _DTYPES.get(hdr["datatype"])
+        if np_dtype is None:
+            raise ValueError(f"{path}: unsupported NIfTI datatype {hdr['datatype']}")
+        count = int(np.prod(shape))
+        skip = int(hdr["vox_offset"]) - HEADER_SIZE
+        if skip > 0:
+            f.read(skip)
         buf = f.read(count * np.dtype(np_dtype).itemsize)
-    data = np.frombuffer(buf, dtype=np.dtype(np_dtype).newbyteorder(hdr["endian"]))
+    # bytearray: callers get a WRITABLE array (np.frombuffer over the raw
+    # bytes is read-only — an in-place `vol *= mask` would raise)
+    data = np.frombuffer(bytearray(buf), dtype=np.dtype(np_dtype).newbyteorder(hdr["endian"]))
     data = data[:count].reshape(shape, order="F")
     slope, inter = hdr["scl_slope"], hdr["scl_inter"]
-    if apply_scaling and slope not in (0.0, 1.0) or (apply_scaling and inter != 0.0):
-        data = data.astype(np.float32) * (slope if slope != 0.0 else 1.0) + inter
+    # NIfTI-1 spec: scl_slope == 0 means "no scaling" — BOTH fields are
+    # ignored (a garbage scl_inter in such files must not shift the HU)
+    if apply_scaling and slope != 0.0 and (slope != 1.0 or inter != 0.0):
+        data = data.astype(np.float32) * slope + inter
     if dtype is not None:
         data = data.astype(dtype)
     return np.asarray(data), affine_from_header(hdr), hdr

@@ -112,6 +112,7 @@ def synthetic_rsna_slices(
     subtype = rng.integers(0, 5, size=n_slices)
     labels = np.zeros((n_slices, 7), dtype=np.float32)
     labels[:, 0] = has_ich
+    labels[:, 6] = 1.0 - has_ich  # no_Hemorrhage, like gen-rsna-csv's pivot
     for i in range(n_slices):
         if has_ich[i]:
             labels[i, 1 + subtype[i]] = 1.0

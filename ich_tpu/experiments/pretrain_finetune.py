@@ -179,11 +179,14 @@ def label_efficiency_sweep(
             frac_folds = None  # CSV path applies label_fraction itself
         else:
             def frac_folds(k, frac=frac):
+                from ich_tpu.experiments.supervised2d import subsample_label_fraction
+
                 train_ds, test_ds = datasets_by_fold(k)
                 if frac < 1.0:
-                    rng = np.random.default_rng(seed + k)
-                    vols = np.unique(train_ds.vol_ids)
-                    keep = rng.permutation(vols)[: max(1, int(round(frac * len(vols))))]
+                    keep = subsample_label_fraction(
+                        np.unique(train_ds.vol_ids), frac,
+                        np.random.default_rng(seed + k),
+                    )
                     idx = np.nonzero(np.isin(train_ds.vol_ids, keep))[0]
                     train_ds = train_ds.subset(idx)
                 return train_ds, test_ds

@@ -52,6 +52,15 @@ def build_unet_from_cfg(net_cfg: dict, norm: str = "batch") -> UNet:
     )
 
 
+def subsample_label_fraction(ids: "np.ndarray", fraction: float, rng) -> "np.ndarray":
+    """Patient/volume-level label-efficiency subsampling: keep a random
+    ``fraction`` of the unique ids (at least one). ONE policy shared by the
+    CSV k-fold path and the in-memory sweep so results stay comparable."""
+    ids = np.asarray(ids)
+    keep = rng.permutation(ids)[: max(1, int(round(fraction * len(ids))))]
+    return keep
+
+
 def run_supervised_2d(cfg: dict, datasets_by_fold=None, init_variables=None) -> str:
     """Run the k-fold experiment; returns the experiment output dir.
 
@@ -81,8 +90,11 @@ def run_supervised_2d(cfg: dict, datasets_by_fold=None, init_variables=None) -> 
     augment_fn = build_augment_fn(cfg["data"].get("augmentation", {}).get("train", {}))
 
     def fold_indices():
+        shuffle = cfg["split"].get("shuffle", True)
         skf = StratifiedKFold(
-            n_splits=n_fold, shuffle=cfg["split"].get("shuffle", True), random_state=seed
+            n_splits=n_fold, shuffle=shuffle,
+            # sklearn raises if random_state is set while shuffle is off
+            random_state=seed if shuffle else None,
         )
         yield from skf.split(patient_df.PatientNumber, patient_df.Hemorrhage)
 
@@ -104,22 +116,26 @@ def run_supervised_2d(cfg: dict, datasets_by_fold=None, init_variables=None) -> 
             train_ds, test_ds = datasets_by_fold(k)
         else:
             train_idx, test_idx = fold
+            # skf.split returns POSITIONS -> .iloc (a patient_info.csv whose
+            # first column is PatientNumber itself would make .loc silently
+            # select wrong patients or KeyError)
             train_df = data_info_df[
                 data_info_df.PatientNumber.isin(
-                    patient_df.loc[train_idx, "PatientNumber"].values
+                    patient_df.PatientNumber.iloc[train_idx].values
                 )
             ]
             test_df = data_info_df[
                 data_info_df.PatientNumber.isin(
-                    patient_df.loc[test_idx, "PatientNumber"].values
+                    patient_df.PatientNumber.iloc[test_idx].values
                 )
             ]
             label_fraction = cfg["dataset"].get("label_fraction", 1.0)
             if label_fraction < 1.0:
                 # label-efficiency sweep: keep a patient-level fraction
-                rng = np.random.default_rng(seed + k)
-                pats = train_df.PatientNumber.unique()
-                keep = rng.permutation(pats)[: max(1, int(round(label_fraction * len(pats))))]
+                keep = subsample_label_fraction(
+                    train_df.PatientNumber.unique(), label_fraction,
+                    np.random.default_rng(seed + k),
+                )
                 train_df = train_df[train_df.PatientNumber.isin(keep)]
             train_df = subsample_negatives(
                 train_df, cfg["dataset"]["frac_negative"], seed
@@ -146,7 +162,10 @@ def run_supervised_2d(cfg: dict, datasets_by_fold=None, init_variables=None) -> 
             print_progress=cfg.get("print_progress", False),
         )
         if tr.get("model_path_to_load"):
-            trainer._ensure_state(train_ds.image_shape, max(1, len(train_ds) // tr["batch_size"]))
+            trainer._ensure_state(
+                train_ds.image_shape,
+                max(1, int(np.ceil(len(train_ds) / tr["batch_size"]))),  # same formula as train()
+            )
             from ich_tpu.train import checkpoint as ckpt_mod
 
             loaded = ckpt_mod.load_params(tr["model_path_to_load"], trainer._variables())

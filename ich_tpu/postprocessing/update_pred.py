@@ -159,4 +159,14 @@ def update_anomaly_pred_folder(
         rows["Dice"].append(_dice(tp, fp, fnn))
     df = pd.DataFrame(rows)
     df.to_csv(os.path.join(pred_dir, "slice_prediction_scores.csv"))
+    # the reference writes BOTH CSVs (update_pred.py:284-285): without the
+    # volume one, a stale pre-mask volume_prediction_scores.csv would feed
+    # the k-fold aggregation
+    df3d = (
+        df[["volID", "label", "TP", "FP", "FN"]]
+        .groupby("volID")
+        .agg({"label": "max", "TP": "sum", "FP": "sum", "FN": "sum"})
+    )
+    df3d["Dice"] = _dice(df3d.TP, df3d.FP, df3d.FN)
+    df3d.to_csv(os.path.join(pred_dir, "volume_prediction_scores.csv"))
     return df

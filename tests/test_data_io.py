@@ -134,3 +134,23 @@ def test_load_segich_attention(tmp_path):
     ds = load_segich_attention_2d(str(tmp_path), pd.DataFrame(rows), size=32)
     assert ds.images.shape == (3, 32, 32, 2)
     assert ds.images[..., 1].max() <= 1.0
+
+
+def test_nifti_scl_slope_zero_ignores_inter(tmp_path):
+    """NIfTI-1 spec: scl_slope == 0 -> no scaling at all; a garbage
+    scl_inter must not shift the voxel values. Output is writable."""
+    import struct
+
+    from ich_tpu.data import nifti
+
+    fn = str(tmp_path / "v.nii")
+    vol = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+    nifti.save(fn, vol)
+    raw = bytearray(open(fn, "rb").read())
+    struct.pack_into("<f", raw, 112, 0.0)    # scl_slope = 0
+    struct.pack_into("<f", raw, 116, 123.0)  # garbage scl_inter
+    open(fn, "wb").write(bytes(raw))
+
+    data, _, hdr = nifti.load(fn)
+    np.testing.assert_array_equal(data.reshape(-1), np.arange(8, dtype=np.float32))
+    data *= 2.0  # writable (frombuffer views used to be read-only)
