@@ -258,3 +258,41 @@ def port_gated_generator(sd: StateDict, context_attention: bool = True) -> Dict:
         _gated_stack(b, "refine_attention_enc.cnn2", "refine_attn_cnn2", 2)
     _gated_stack(b, "refine_dec", "refine_dec", 7)
     return b.variables()
+
+
+def _self_attention(b: _Builder, tprefix: str, fprefix: str) -> None:
+    """Reference ``SelfAttention`` (InpaintingNetwork.py:429-468) -> flax
+    :class:`ich_tpu.models.inpainting.SelfAttention` params."""
+    for name in ("conv_f", "conv_g", "conv_h"):
+        b.conv(f"{tprefix}.{name}", f"{fprefix}/{name}")
+    _set(b.params, f"{fprefix}/gamma", b.sd[f"{tprefix}.gamma"])
+
+
+def port_sa_gated_generator(sd: StateDict) -> Dict:
+    """Reference ``SAGatedGenerator`` (InpaintingNetwork.py:697-824) ->
+    :class:`ich_tpu.models.SAGatedGenerator` variables: coarse 17,
+    refine_enc 10 (ends at the dilation-16 conv), SelfAttention(+ReLU),
+    refine_dec 7."""
+    b = _Builder(sd)
+    _gated_stack(b, "coarse", "coarse", 17)
+    _gated_stack(b, "refine_enc", "refine_enc", 10)
+    _self_attention(b, "refine_attention.0", "self_attention")
+    _gated_stack(b, "refine_dec", "refine_dec", 7)
+    return b.variables()
+
+
+def port_patch_discriminator(sd: StateDict, n_layers: int = 6,
+                             self_attention: bool = True) -> Dict:
+    """Reference ``PatchDiscriminator`` (InpaintingNetwork.py:601-695,
+    sn=False) -> :class:`ich_tpu.models.PatchDiscriminator` variables. The
+    reference interleaves SelfAttention+ReLU as extra layer_list entries
+    after index n-2, shifting the last conv's index by 2."""
+    b = _Builder(sd)
+    for i in range(n_layers):
+        ti = i if not (self_attention and i == n_layers - 1) else i + 2
+        b.conv(f"layer_list.{ti}.conv", f"conv{i}/conv")
+        if f"layer_list.{ti}.norm.weight" in b.sd:
+            b.bn(f"layer_list.{ti}.norm", f"conv{i}/norm")
+    if self_attention:
+        _self_attention(b, f"layer_list.{n_layers - 1}", "self_attention")
+    return b.variables()

@@ -199,8 +199,10 @@ class ContextualAttention(nn.Module):
         b, in_h, in_w, c = fg.shape
         cr, ks, st = self.compression_rate, self.kernel_size, self.patch_stride
         raw_k = 2 * cr
-        # raw-resolution reconstruction patches
-        w_recon = _extract_patches(bg, raw_k, cr * st)  # (B, L, rk, rk, C)
+        # raw-resolution reconstruction patches: dilation = compression_rate
+        # (reference ``:357-358`` — the dilated footprint matches the
+        # downsampled grid; dense extraction diverges for cr > 1)
+        w_recon = _extract_patches(bg, raw_k, cr * st, dilation=cr)  # (B, L, rk, rk, C)
 
         # downsample fg/bg for the similarity computation
         if cr > 1:
@@ -216,14 +218,20 @@ class ContextualAttention(nn.Module):
         else:
             if mask.ndim == 3:
                 mask = mask[..., None]
-            mk = jax.image.resize(mask, (b, hh, ww, 1), "nearest")
+            # torch F.interpolate nearest semantics: src = floor(dst*in/out)
+            # (jax.image.resize uses half-pixel centers -> off-by-one vs the
+            # reference when downsampling by compression_rate)
+            sy = (jnp.arange(hh) * mask.shape[1]) // hh
+            sx = (jnp.arange(ww) * mask.shape[2]) // ww
+            mk = mask[:, sy][:, :, sx]
             mp = _extract_patches(mk, ks, st)  # (B, L, k, k, 1)
             m = jnp.mean(mp, axis=(2, 3, 4))[:, None, :]  # (B, 1, L)
 
         # normalize similarity patches, compute cosine-ish similarity
         w_flat = w_sim.reshape(b, L, -1)
+        # reference ``:393``: eps inside the sum (adds N*eps, N = C*k*k)
         w_norm = w_flat / jnp.sqrt(
-            jnp.sum(w_flat**2, axis=-1, keepdims=True) + self.eps
+            jnp.sum(w_flat**2 + self.eps, axis=-1, keepdims=True)
         )
         fg_patch = _extract_patches(fg, ks, 1).reshape(b, hh * ww, -1)
         sim = jnp.einsum("bpd,bld->bpl", fg_patch, w_norm)  # (B, P, L)
@@ -381,10 +389,13 @@ class SAGatedGenerator(nn.Module):
         coarse_corr = coarse * mask + masked
 
         x2 = jnp.concatenate([coarse_corr, mask], axis=-1)
-        enc_specs = tuple(_coarse_layers(lat, self.out_channels, act, norm)[:12])
+        # reference ``:751-766``: refine_enc is the 10 layers ENDING at the
+        # dilation-16 conv; SelfAttention + ReLU sit between enc and dec,
+        # and refine_dec starts with the two 4*lat convs
+        enc_specs = tuple(_coarse_layers(lat, self.out_channels, act, norm)[:10])
         feat = _GatedStack(enc_specs, name="refine_enc", dtype=self.dtype)(x2, train)
-        feat = SelfAttention(name="self_attention")(feat)
-        dec_specs = tuple(_coarse_layers(lat, self.out_channels, act, norm)[12:])
+        feat = nn.relu(SelfAttention(name="self_attention")(feat))
+        dec_specs = tuple(_coarse_layers(lat, self.out_channels, act, norm)[10:])
         fine = _GatedStack(dec_specs, name="refine_dec", dtype=self.dtype)(feat, train)
         if self.return_coarse:
             return fine, coarse
@@ -418,11 +429,14 @@ class PatchDiscriminator(nn.Module):
                 stride=1 if i == 0 else self.stride,
                 padding=(self.kernel_size - 1) // 2,
                 activation="none" if last else self.activation,
-                batch_norm=self.norm and not last, sn=self.sn,
+                # reference keeps norm on EVERY layer incl. the last
+                # (InpaintingNetwork.py:665-667); only activation drops
+                batch_norm=self.norm, sn=self.sn,
                 dtype=self.dtype, name=f"conv{i}",
             )(x, train)
             if self.self_attention and i == n - 2:
-                x = SelfAttention(name="self_attention")(x)
+                # reference ``:676-677``: SelfAttention is followed by ReLU
+                x = nn.relu(SelfAttention(name="self_attention")(x))
         return x
 
 

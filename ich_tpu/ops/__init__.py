@@ -7,6 +7,7 @@ from ich_tpu.ops import (
     morphology,
     sliding_window,
     transforms,
+    transforms3d,  # registers Flip3D/RotateInPlane/AffineAugment3D
     warp,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "morphology",
     "sliding_window",
     "transforms",
+    "transforms3d",
     "warp",
 ]

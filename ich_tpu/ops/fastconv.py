@@ -187,7 +187,7 @@ def conv_same(
     if _MODE == "pallas":
         from ich_tpu.ops import pallas_conv
 
-        if pallas_conv.qualifies(x.shape, w.shape):
+        if pallas_conv.qualifies(x.shape, w.shape, x.dtype.itemsize):
             return pallas_conv.conv3d_same16(x, w)
     pack = (
         choose_pack(x.shape[1 : 1 + n], w.shape[:n], w.shape[-1], c_in=w.shape[-2])

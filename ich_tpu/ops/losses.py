@@ -178,6 +178,14 @@ def local_info_nce_loss(
     """
     b, h, w, c = f1.shape
     gh, gw = h // K, w // K
+    if gh * gw < n_region:
+        # the reference errors loudly here too (np.random.choice without
+        # replacement, LossFunctions.py:295); a short permutation would
+        # silently duplicate cells and compute a meaningless loss
+        raise ValueError(
+            f"local_info_nce_loss: feature grid {gh}x{gw} has fewer cells "
+            f"than n_region={n_region}; shrink n_region or K."
+        )
     cells = sample_region_cells(key, b, gh * gw, n_region)  # (B, R)
 
     def to_cells(f):

@@ -134,10 +134,18 @@ def draw_ellipses(
     kn, kc, kaxis, krot, kint, knoise = jax.random.split(key, 6)
     max_n = n_ellipse[1] - 1
     n = jax.random.randint(kn, (), n_ellipse[0], n_ellipse[1])
-    cy = jax.random.uniform(kc, (max_n,), minval=0, maxval=h)
-    cx = jax.random.uniform(jax.random.fold_in(kc, 1), (max_n,), minval=0, maxval=w)
-    ra = jax.random.randint(kaxis, (max_n,), major_axis[0], major_axis[1]).astype(jnp.float32)
-    rb = jax.random.randint(jax.random.fold_in(kaxis, 1), (max_n,), minor_axis[0], minor_axis[1]).astype(jnp.float32)
+    # reference distribution (datasets.py:704-707): centers gaussian around
+    # the image center (sigma = dim/6), axes uniform FLOATS with the minor
+    # clamped to never exceed the drawn major (row radius = minor, col
+    # radius = major, like skimage.draw.ellipse's argument order)
+    cy = jax.random.normal(kc, (max_n,)) * (h / 6.0) + h / 2.0
+    cx = jax.random.normal(jax.random.fold_in(kc, 1), (max_n,)) * (w / 6.0) + w / 2.0
+    maj = jax.random.uniform(
+        kaxis, (max_n,), minval=float(major_axis[0]), maxval=float(major_axis[1]))
+    rb = maj  # column radius = major axis
+    ra = jax.random.uniform(
+        jax.random.fold_in(kaxis, 1), (max_n,), minval=float(minor_axis[0]),
+        maxval=jnp.minimum(float(minor_axis[1]), maj))  # row radius = minor
     th = jax.random.uniform(krot, (max_n,), minval=rotation[0], maxval=rotation[1])
     val = jax.random.uniform(kint, (max_n,), minval=intensity[0], maxval=intensity[1])
     valid = jnp.arange(max_n) < n

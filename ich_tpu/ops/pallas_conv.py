@@ -41,9 +41,11 @@ COUT = 16          # lane budget: 8 * 16 = 128
 WA = WTILE + 2     # input-w window per tile (3-tap kernel)
 
 
-def qualifies(x_shape, w_shape) -> bool:
+def qualifies(x_shape, w_shape, itemsize: int = 2) -> bool:
     """3D SAME stride-1 3x3x3 conv, C_out=16, W a multiple of 8, plane
-    small enough for VMEM (A-matrix + slabs <= ~8 MB)."""
+    small enough for VMEM (A-matrix + slabs <= ~8 MB). ``itemsize`` is the
+    activation dtype's byte width (the kernel computes in x's dtype, so a
+    float32 activation doubles the footprint vs the bf16 default)."""
     if len(x_shape) != 5 or len(w_shape) != 5:
         return False
     b, d, h, w, ci = x_shape
@@ -52,7 +54,7 @@ def qualifies(x_shape, w_shape) -> bool:
     if w % WTILE or w < 2 * WTILE or h < 4:
         return False
     k = 9 * WA * ci
-    a_bytes = (h * (w // WTILE)) * _round_up(k, 128) * 2
+    a_bytes = (h * (w // WTILE)) * _round_up(k, 128) * itemsize
     return ci in (1, 8, 16, 32) and a_bytes <= 8 * 2 ** 20
 
 

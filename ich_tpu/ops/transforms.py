@@ -66,11 +66,12 @@ class AffineTransform(Transform):
         return 0.0
 
     def __call__(self, key, image, mask=None):
-        from ich_tpu.ops.warp import mask_warp_method
+        from ich_tpu.ops.warp import image_warp_method, mask_warp_method
 
         image, sq = _ensure_batched(image)
         m, o = self.affine_params(key, image.shape[0], image.shape[1:3])
-        out = affine_warp(image, m, o, order=1)
+        out = affine_warp(image, m, o, order=1,
+                          method=image_warp_method(self.rotation_bound_deg()))
         if mask is not None:
             mask_b, _ = _ensure_batched(mask)
             mask_out = affine_warp(
@@ -610,20 +611,21 @@ class Compose(Transform):
         has_mask = mask is not None
         for kind, seg in segments:
             if kind == "affine":
-                from ich_tpu.ops.warp import mask_warp_method
+                from ich_tpu.ops.warp import image_warp_method, mask_warp_method
 
                 img_b, sq = _ensure_batched(image)
                 b, hw = img_b.shape[0], img_b.shape[1:3]
                 m, o = identity_affine(b)
+                bound = sum(t.rotation_bound_deg() for t in seg)
                 for t in seg:
                     mt, ot = t.affine_params(keys[ki], b, hw)
                     ki += 1
                     m, o = compose_affine(m, o, mt, ot)
-                image = affine_warp(img_b, m, o, order=1)
+                image = affine_warp(img_b, m, o, order=1,
+                                    method=image_warp_method(bound))
                 if sq:
                     image = image[0]
                 if has_mask:
-                    bound = sum(t.rotation_bound_deg() for t in seg)
                     mask_b, msq = _ensure_batched(mask)
                     mask = affine_warp(
                         mask_b, m, o, order=0, method=mask_warp_method(bound)

@@ -57,22 +57,30 @@ def _rotation_affine(key, batch: int, low: float, high: float):
     return m, jnp.zeros((batch, 2))
 
 
-def _mask_warp_inplane(mask, m, o, rotation_bound_deg: float):
-    """Order-0 in-plane mask warp under the same policy as the 2D path
-    (:func:`ich_tpu.ops.warp.mask_warp_method`): the two-pass matmul on TPU
-    while the static rotation bound stays away from vertical, the exact
-    per-slab nearest gather otherwise (wide-angle configs, other
+def _warp_inplane(x, m, o, rotation_bound_deg: float, order: int):
+    """In-plane warp under the same policy as the 2D path
+    (:func:`ich_tpu.ops.warp.{image,mask}_warp_method`): the two-pass
+    matmul on TPU while the static rotation bound stays away from vertical
+    (the matmul clamps |cos| at 0.05 — near-vertical maps corrupt), the
+    exact per-slab gather otherwise (wide-angle configs, other
     platforms)."""
-    from ich_tpu.ops.warp import affine_warp, inplane_warp_matmul, mask_warp_method
+    from ich_tpu.ops.warp import (
+        affine_warp, image_warp_method, inplane_warp_matmul, mask_warp_method)
 
-    if mask_warp_method(rotation_bound_deg) == "matmul":
-        return inplane_warp_matmul(mask, m, o, order=0)
-    b, d = mask.shape[:2]
-    slabs = mask.reshape((b * d,) + mask.shape[2:])  # (B*D, H, W[, C])
+    method = (image_warp_method if order == 1 else mask_warp_method)(
+        rotation_bound_deg)
+    if method == "matmul":
+        return inplane_warp_matmul(x, m, o, order=order)
+    b, d = x.shape[:2]
+    slabs = x.reshape((b * d,) + x.shape[2:])  # (B*D, H, W[, C])
     m_s = jnp.repeat(m, d, axis=0)
     o_s = jnp.repeat(o, d, axis=0)
-    out = affine_warp(slabs, m_s, o_s, order=0, method="gather")
-    return out.reshape(mask.shape)
+    out = affine_warp(slabs, m_s, o_s, order=order, method="gather")
+    return out.reshape(x.shape)
+
+
+def _mask_warp_inplane(mask, m, o, rotation_bound_deg: float):
+    return _warp_inplane(mask, m, o, rotation_bound_deg, order=0)
 
 
 class RotateInPlane:
@@ -88,9 +96,9 @@ class RotateInPlane:
     def __call__(self, key, image, mask=None):
         b = image.shape[0]
         m, o = _rotation_affine(key, b, self.low, self.high)
-        out = inplane_warp_matmul(image, m, o, order=1)
+        bound = max(abs(self.low), abs(self.high))
+        out = _warp_inplane(image, m, o, bound, order=1)
         if mask is not None:
-            bound = max(abs(self.low), abs(self.high))
             return out, _mask_warp_inplane(mask, m, o, bound)
         return out
 
@@ -120,9 +128,9 @@ class AffineAugment3D:
         sx = jnp.where(jax.random.bernoulli(kw, self.p_flip, (b,)), -1.0, 1.0) if self.flip_w else one
         m_flip = jnp.stack([jnp.stack([sy, zero], 1), jnp.stack([zero, sx], 1)], 1)
         m, o = compose_affine(m, o, m_flip, jnp.zeros((b, 2)))
-        out = inplane_warp_matmul(image, m, o, order=1)
+        bound = max(abs(self.rotate[0]), abs(self.rotate[1]))
+        out = _warp_inplane(image, m, o, bound, order=1)
         if mask is not None:
-            bound = max(abs(self.rotate[0]), abs(self.rotate[1]))
             return out, _mask_warp_inplane(mask, m, o, bound)
         return out
 

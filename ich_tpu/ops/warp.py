@@ -195,6 +195,15 @@ def mask_warp_method(rotation_bound_deg: float) -> str:
     return "matmul" if (rotation_bound_deg <= 50.0 and _use_matmul_warp()) else "gather"
 
 
+def image_warp_method(rotation_bound_deg: float) -> str:
+    """Pick the order-1 warp path given a static rotation bound: the
+    two-pass matmul's ``_twopass_weights`` clamps |m00| at 0.05, so maps
+    within ~3 degrees of vertical are silently corrupted — beyond the same
+    50-degree comfort bound used for masks, images take the exact direct
+    bilinear gather instead."""
+    return "matmul" if (rotation_bound_deg <= 50.0 and _use_matmul_warp()) else "gather"
+
+
 def affine_warp(
     image: jax.Array,
     m: jax.Array,

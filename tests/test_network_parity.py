@@ -286,11 +286,13 @@ def test_gated_conv_forward_parity():
 
 
 @needs_ref
-def test_contextual_attention_parity():
+@pytest.mark.parametrize("cr", [1, 2])
+def test_contextual_attention_parity(cr):
     """Param-free module: the batched einsum reformulation must equal the
-    reference's per-sample loop (InpaintingNetwork.py:350-427)."""
+    reference's per-sample loop (InpaintingNetwork.py:350-427), incl. the
+    compression_rate=2 dilated raw-patch extraction (``:357-358``)."""
     tm = ref_inpaint.ContextualAttention(
-        kernel_size=3, patch_stride=1, compression_rate=1, softmax_scale=10,
+        kernel_size=3, patch_stride=1, compression_rate=cr, softmax_scale=10,
         fuse=False, device="cpu",
     )
     rng = np.random.default_rng(10)
@@ -301,7 +303,7 @@ def test_contextual_attention_parity():
         ref = to_nhwc(tm(torch.from_numpy(fg), torch.from_numpy(bg),
                          mask=torch.from_numpy(mask)))
     m = ich_inpaint.ContextualAttention(
-        kernel_size=3, patch_stride=1, compression_rate=1, softmax_scale=10.0,
+        kernel_size=3, patch_stride=1, compression_rate=cr, softmax_scale=10.0,
         fuse=False,
     )
     got = m.apply(
@@ -340,3 +342,59 @@ def test_gated_generator_forward_parity():
     fine, coarse = net.apply(v, imgj, maskj, train=False)
     check(to_nhwc(ref_coarse), coarse, atol=2e-4)
     check(to_nhwc(ref_fine), fine, atol=2e-4)
+
+
+@needs_ref
+def test_sa_gated_generator_forward_parity():
+    """Ported-weights forward agreement for the self-attention generator:
+    locks the refine_enc(10)/attention+ReLU/refine_dec(7) placement
+    (InpaintingNetwork.py:751-766)."""
+    tnet = ref_inpaint.SAGatedGenerator(
+        in_channels=2, out_channels=1, lat_channels=8, activation="relu",
+        norm=True, padding_mode="reflect", self_attention=True,
+        return_coarse=True,
+    ).eval()
+    randomize_(tnet, seed=33)
+    rng = np.random.default_rng(12)
+    img = rng.uniform(size=(1, 1, 128, 128)).astype(np.float32)
+    mask = np.zeros((1, 1, 128, 128), dtype=np.float32)
+    mask[:, :, 40:80, 40:80] = 1.0
+    with torch.no_grad():
+        ref_fine, ref_coarse = tnet(torch.from_numpy(img), torch.from_numpy(mask))
+    m = ich_inpaint.SAGatedGenerator(
+        out_channels=1, lat_channels=8, activation="relu", norm=True,
+        return_coarse=True,
+    )
+    v = torch_port.port_sa_gated_generator(numpy_sd(tnet))
+    xj, mj = jnp.asarray(img.transpose(0, 2, 3, 1)), jnp.asarray(mask.transpose(0, 2, 3, 1))
+    assert_tree_matches(m, v, xj, mj, train=False)
+    fine, coarse = m.apply(v, xj, mj, train=False)
+    check(to_nhwc(ref_coarse), coarse, atol=2e-4)
+    check(to_nhwc(ref_fine), fine, atol=2e-4)
+
+
+@needs_ref
+def test_patch_discriminator_forward_parity():
+    """Ported-weights forward agreement for the patch discriminator with
+    self-attention (sn=False isolates the attention+ReLU+norm semantics
+    from spectral-norm state): locks the post-attention ReLU and the
+    last-layer BatchNorm (InpaintingNetwork.py:640-677)."""
+    tnet = ref_inpaint.PatchDiscriminator(
+        in_channels=2, out_channels=[8, 16, 16, 16], kernel_size=5, stride=2,
+        activation="lrelu", norm=True, padding_mode="zeros", sn=False,
+        self_attention=True,
+    ).eval()
+    randomize_(tnet, seed=34)
+    rng = np.random.default_rng(13)
+    img = rng.uniform(size=(2, 1, 64, 64)).astype(np.float32)
+    mask = (rng.uniform(size=(2, 1, 64, 64)) > 0.7).astype(np.float32)
+    with torch.no_grad():
+        ref = to_nhwc(tnet(torch.from_numpy(img), torch.from_numpy(mask)))
+    m = ich_inpaint.PatchDiscriminator(
+        out_channels=(8, 16, 16, 16), kernel_size=5, stride=2,
+        activation="lrelu", norm=True, sn=False, self_attention=True,
+    )
+    v = torch_port.port_patch_discriminator(numpy_sd(tnet), n_layers=4)
+    xj, mj = jnp.asarray(img.transpose(0, 2, 3, 1)), jnp.asarray(mask.transpose(0, 2, 3, 1))
+    assert_tree_matches(m, v, xj, mj, train=False)
+    check(ref, m.apply(v, xj, mj, train=False), atol=1e-4)
