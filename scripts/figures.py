@@ -65,6 +65,20 @@ def explore(data_dir, out_dir, gif_patient, fps):
 
     os.makedirs(out_dir, exist_ok=True)
     patient_df = pd.read_csv(os.path.join(data_dir, "patient_info.csv"), index_col=0)
+    has_meta = {"Age", "Gender"} <= set(patient_df.columns)
+    if not has_meta:
+        # gen-2d-seg without --demographics-csv: no metadata figure, but
+        # the --gif-patient branch below must stay reachable
+        click.echo("patient_info.csv has no Age/Gender columns; skipping "
+                   "metadata_stat.pdf")
+    if has_meta:
+        _plot_metadata(patient_df, out_dir, plt, np)
+
+    if gif_patient is not None:
+        _write_gif(data_dir, out_dir, gif_patient, fps, np)
+
+
+def _plot_metadata(patient_df, out_dir, plt, np):
     fig, (ax1, ax2) = plt.subplots(
         1, 2, figsize=(10, 4), gridspec_kw=dict(width_ratios=[0.75, 0.25])
     )
@@ -88,28 +102,32 @@ def explore(data_dir, out_dir, gif_patient, fps):
     plt.close(fig)
     click.echo(f"Wrote {meta_fn}")
 
-    if gif_patient is not None:
-        from PIL import Image
 
-        from ich_tpu.postprocessing.plots import pred2gif
+def _write_gif(data_dir, out_dir, gif_patient, fps, np):
+    import pandas as pd
+    from PIL import Image
 
-        ct_df = pd.read_csv(os.path.join(data_dir, "ct_info.csv"), index_col=0)
-        rows = ct_df[ct_df.PatientNumber == gif_patient].sort_values("SliceNumber")
-        if rows.empty:
-            raise click.ClickException(f"no slices for patient {gif_patient}")
-        imgs, masks = [], []
-        for _, r in rows.iterrows():
-            im = np.asarray(Image.open(os.path.join(data_dir, r.CT_fn)), np.float32)
-            lo, hi = im.min(), im.max()
-            imgs.append((im - lo) / max(hi - lo, 1e-6))
-            if isinstance(r.mask_fn, str) and r.mask_fn != "None":
-                m = np.asarray(Image.open(os.path.join(data_dir, r.mask_fn))) > 0
-            else:
-                m = np.zeros(im.shape, bool)
-            masks.append(m.astype(np.float32))
-        gif_fn = os.path.join(out_dir, f"{gif_patient}_CT.gif")
-        pred2gif(imgs, masks, gif_fn, fps=fps)
-        click.echo(f"Wrote {gif_fn}")
+    from ich_tpu.postprocessing.plots import pred2gif
+
+    ct_df = pd.read_csv(os.path.join(data_dir, "ct_info.csv"), index_col=0)
+    rows = ct_df[ct_df.PatientNumber == gif_patient].sort_values("SliceNumber")
+    if rows.empty:
+        raise click.ClickException(f"no slices for patient {gif_patient}")
+    imgs, masks = [], []
+    for _, r in rows.iterrows():
+        im = np.asarray(Image.open(os.path.join(data_dir, r.CT_fn)), np.float32)
+        lo, hi = im.min(), im.max()
+        imgs.append((im - lo) / max(hi - lo, 1e-6))
+        # same sentinel set as the dataset loader (data/segich.py): a
+        # negative slice is "-" from gen-2d-seg, "None"/"nan" elsewhere
+        if isinstance(r.mask_fn, str) and r.mask_fn not in ("", "-", "None", "nan"):
+            m = np.asarray(Image.open(os.path.join(data_dir, r.mask_fn))) > 0
+        else:
+            m = np.zeros(im.shape, bool)
+        masks.append(m.astype(np.float32))
+    gif_fn = os.path.join(out_dir, f"{gif_patient}_CT.gif")
+    pred2gif(imgs, masks, gif_fn, fps=fps)
+    click.echo(f"Wrote {gif_fn}")
 
 
 @cli.command("rsna-stats")

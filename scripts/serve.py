@@ -31,17 +31,32 @@ MAX_BATCH = 16  # volumes decoded per serve cycle (bounds host memory)
 MAX_RETRIES = 3  # decode failures before a file is quarantined (.failed)
 
 
+def _vol_name(fn: str) -> str:
+    """Basename with ONLY the trailing .nii/.nii.gz stripped (a blanket
+    str.replace would collapse e.g. a.nii and a.nii.gz — or scan.nii.bak —
+    onto one done-marker and silently drop one of them)."""
+    fn = os.path.basename(fn)
+    for suf in (".nii.gz", ".nii"):
+        if fn.endswith(suf):
+            return fn[: -len(suf)]
+    return fn
+
+
 def _pending(watch_dir: str, output_dir: str, settle_s: float = 0.0):
     """Unprocessed volume paths (sorted for deterministic order). Files
     modified less than ``settle_s`` ago are skipped — an uploader may still
     be writing them (the guard is advisory; a torn file that slips through
-    is caught by the per-file decode isolation + quarantine below)."""
+    is caught by the per-file decode isolation + quarantine below).
+    Our own ``*_mask.nii.gz`` outputs are excluded so watch_dir ==
+    output_dir does not re-ingest (and endlessly re-mask) its results."""
     out = []
     now = time.time()
     for fn in sorted(os.listdir(watch_dir)):
         if not (fn.endswith(".nii") or fn.endswith(".nii.gz")):
             continue
-        name = fn.replace(".nii.gz", "").replace(".nii", "")
+        name = _vol_name(fn)
+        if name.endswith("_mask"):
+            continue
         if os.path.exists(os.path.join(output_dir, f"{name}.done")):
             continue
         if os.path.exists(os.path.join(output_dir, f"{name}.failed")):
@@ -115,7 +130,7 @@ def main(watch_dir, output_dir, model_path, mode, depth, top_filter, size,
         # marker (delete it to retry).
         names, vols, affines = [], [], []
         for vp in batch:
-            name = os.path.basename(vp).replace(".nii.gz", "").replace(".nii", "")
+            name = _vol_name(vp)
             retry_fn = os.path.join(output_dir, f"{name}.retries")
             try:
                 vol, affine, _ = nifti.load(vp)  # NIfTI layout: (H, W, D)

@@ -294,3 +294,76 @@ def test_serve_cli_corrupt_file_quarantined(nifti_dataset, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "corrupt.failed"))
     # quarantined file no longer selected
     assert serve._pending(str(watch), out_dir) == []
+
+
+def test_serve_vol_name_strips_only_trailing_extension():
+    """Done-marker names must strip ONLY a trailing .nii/.nii.gz: a blanket
+    str.replace collapses distinct uploads (e.g. a.nii_v2.nii.gz and
+    a_v2.nii.gz) onto one marker and silently drops one of them."""
+    import serve
+
+    assert serve._vol_name("scan.nii") == "scan"
+    assert serve._vol_name("scan.nii.gz") == "scan"
+    assert serve._vol_name("/in/scan.nii.gz") == "scan"
+    assert serve._vol_name("a.nii_v2.nii.gz") == "a.nii_v2"  # embedded .nii kept
+
+
+def test_serve_cli_watch_dir_equals_output_dir(nifti_dataset, tmp_path):
+    """watch_dir == output_dir must not re-ingest the *_mask.nii.gz the
+    server itself wrote (which would endlessly mask the masks)."""
+    import shutil
+
+    import serve
+
+    from ich_tpu.models import UNet
+    from ich_tpu.train import UNet2D
+
+    d = tmp_path / "inout"
+    os.makedirs(d)
+    shutil.copy(nifti_dataset / "ct_scans" / "001.nii", d / "001.nii")
+
+    model_fn = str(tmp_path / "m.bin")
+    tr = UNet2D(UNet(depth=3, top_filter=4, p_dropout=0.0))
+    tr._ensure_state((32, 32))
+    tr.save_model(model_fn)
+
+    args = ["--watch-dir", str(d), "-o", str(d), "-m", model_fn,
+            "--mode", "2.5d", "--depth", "3", "--top-filter", "4",
+            "--size", "32", "--once"]
+    r = CliRunner().invoke(serve.main, args)
+    assert r.exit_code == 0, r.output
+    assert os.path.exists(d / "001_mask.nii.gz")
+    # second pass: the mask output is not treated as a new upload
+    r = CliRunner().invoke(serve.main, args)
+    assert r.exit_code == 0, r.output
+    assert not os.path.exists(d / "001_mask_mask.nii.gz")
+    assert serve._pending(str(d), str(d)) == []
+
+
+def test_figures_explore_without_metadata_columns(tmp_path):
+    """`figures explore` on a tree whose patient_info.csv lacks Age/Gender
+    (e.g. produced by gen-2d-seg without --demographics-csv) must skip the
+    metadata figure but still honor --gif-patient."""
+    import figures
+    import pandas as pd
+
+    from ich_tpu.data.synthetic import synthetic_ich_slices, write_segich_tree
+
+    ds = synthetic_ich_slices(n_slices=8, size=32, n_volumes=2, seed=7)
+    data_dir = write_segich_tree(ds, str(tmp_path / "tree"))
+    info_fn = os.path.join(data_dir, "patient_info.csv")
+    pdf = pd.read_csv(info_fn, index_col=0)
+    pdf.drop(columns=[c for c in ("Age", "Gender") if c in pdf.columns],
+             inplace=True)
+    pdf.to_csv(info_fn)
+
+    out_dir = str(tmp_path / "figs")
+    pid = int(pdf.PatientNumber.iloc[0])
+    r = CliRunner().invoke(
+        figures.cli,
+        ["explore", "--data-dir", data_dir, "--out-dir", out_dir,
+         "--gif-patient", str(pid)],
+    )
+    assert r.exit_code == 0, r.output
+    assert not os.path.exists(os.path.join(out_dir, "metadata_stat.pdf"))
+    assert os.path.getsize(os.path.join(out_dir, f"{pid}_CT.gif")) > 1000
