@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import logging
 import os
-import time
 from datetime import timedelta
 from functools import partial
 from typing import Any, Optional, Tuple
@@ -33,6 +32,7 @@ from ich_tpu.data.core import batch_indices
 from ich_tpu.ops.losses import discounted_l1_loss, hinge_d_loss, hinge_g_loss
 from ich_tpu.ops.masks import random_ff_masks
 from ich_tpu.train import checkpoint as ckpt
+from ich_tpu.train.loop import fit
 from ich_tpu.train.state import make_optimizer, make_schedule
 from ich_tpu.utils.config import TRAINERS
 from ich_tpu.utils.logging import save_json
@@ -221,55 +221,45 @@ class SNPatchGAN:
         steps_per_epoch = max(1, n // self.batch_size)
         self._ensure_state((h, w), steps_per_epoch)
         step = self._make_train_step()
-
-        n_done, history = 0, []
-        if checkpoint_path:
-            restored = ckpt.load_checkpoint_auto(checkpoint_path, self.state)
-            if restored is not None:
-                self.state, n_done, history = restored
-                logger.info("Checkpoint loaded with %d epoch finished.", n_done)
-            else:
-                logger.info("No Checkpoint found. Training from beginning.")
-
-        logger.info("Start training the SN-PatchGAN.")
-        root_key = jax.random.PRNGKey(self.seed)
-        host_rng = np.random.default_rng(self.seed + n_done)
         images = dataset.images
-        start = time.time()
-        for epoch in range(n_done, self.n_epoch):
-            # device-scalar accumulation (three scalars/step): fetch ONCE per
-            # epoch so async dispatch keeps the G/D step pipeline full
-            batch_losses, t0 = [], time.time()
-            for b, idx in enumerate(
-                batch_indices(n, self.batch_size, shuffle=True, rng=host_rng, drop_last=True)
-            ):
-                key = jax.random.fold_in(root_key, epoch * 100003 + b)
-                self.state, losses_dev = step(self.state, jnp.asarray(images[idx]), key)
-                batch_losses.append(jnp.stack(losses_dev))
-            means = np.asarray(jnp.stack(batch_losses).mean(axis=0)) if batch_losses else np.zeros(3)
+
+        # resume convention: host shuffle rng seeded with seed + n_done,
+        # created lazily on the first epoch fit() hands us post-restore
+        rng_box = {}
+
+        def batches_fn(epoch):
+            if "rng" not in rng_box:
+                rng_box["rng"] = np.random.default_rng(self.seed + epoch)
+            return batch_indices(
+                n, self.batch_size, shuffle=True, rng=rng_box["rng"], drop_last=True
+            )
+
+        def epoch_hook(state, epoch, mean_losses, epoch_time):
+            self.state = state  # validate() below reads the live state
+            means = mean_losses if mean_losses is not None else np.zeros(3)
             eg, ed, el1 = (float(v) for v in means)
             logger.info(
                 "\t| Epoch: %03d/%03d | Time: %s | G loss: %.5f | D loss: %.5f | L1: %.5f |",
-                epoch + 1, self.n_epoch, timedelta(seconds=int(time.time() - t0)),
+                epoch + 1, self.n_epoch, timedelta(seconds=int(epoch_time)),
                 eg, ed, el1,
             )
-            history.append([epoch + 1, eg, ed, el1])
             if valid_dataset is not None and (epoch + 1) % valid_freq == 0:
                 self.validate(valid_dataset, save_path=valid_path, epoch=epoch + 1)
-            if checkpoint_path and (epoch + 1) % self.checkpoint_freq == 0:
-                ckpt.save_checkpoint_auto(checkpoint_path, self.state, epoch + 1, history)
-                logger.info("\tCheckpoint saved.")
-            from ich_tpu.utils import preemption
+            return [epoch + 1, eg, ed, el1]
 
-            if preemption.requested():  # same contract as every other trainer
-                if checkpoint_path:
-                    ckpt.save_checkpoint_auto(checkpoint_path, self.state, epoch + 1, history)
-                logger.warning("Preemption: checkpointed after epoch %d.", epoch + 1)
-                break
-        self.outputs["train"]["time"] = time.time() - start
+        self.state, history, wall = fit(
+            self.state,
+            lambda s, idx, k: step(s, jnp.asarray(images[idx]), k),
+            batches_fn,
+            self.n_epoch,
+            seed=self.seed,
+            checkpoint_path=checkpoint_path,
+            checkpoint_freq=self.checkpoint_freq,
+            name="SN-PatchGAN",
+            epoch_hook=epoch_hook,
+        )
+        self.outputs["train"]["time"] = wall
         self.outputs["train"]["evolution"] = history
-        logger.info("Finished training SN-PatchGAN in %s",
-                    timedelta(seconds=int(self.outputs["train"]["time"])))
 
     def inpaint(self, images: np.ndarray, masks: np.ndarray) -> np.ndarray:
         """Composite inpainting of (B, H, W[,1]) images on mask==1 regions —

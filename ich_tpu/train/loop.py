@@ -2,7 +2,9 @@
 
 Every reference trainer repeats the same skeleton: resume-from-checkpoint
 try/except, epoch loop with per-epoch log line, periodic checkpoint
-(SURVEY §2.5). Here it is once, as a function over a pure jitted step.
+(SURVEY §2.5). Here it is once, as a function over a pure jitted step —
+ALL nine trainers route through this loop, so preemption, resume and
+checkpoint cadence cannot drift between them.
 """
 
 from __future__ import annotations
@@ -13,6 +15,7 @@ from datetime import timedelta
 from typing import Any, Callable, Iterable, Optional, Tuple
 
 import jax
+import numpy as np
 
 from ich_tpu.train import checkpoint as ckpt
 from ich_tpu.utils import preemption
@@ -22,7 +25,7 @@ logger = logging.getLogger(__name__)
 
 def fit(
     state: Any,
-    train_step: Callable,  # (state, batch, key) -> (state, loss)
+    train_step: Callable,  # (state, batch, key) -> (state, loss_or_tuple)
     batches_fn: Callable[[int], Iterable],  # epoch -> iterable of batches
     n_epoch: int,
     seed: int = 0,
@@ -30,20 +33,51 @@ def fit(
     checkpoint_freq: int = 10,
     validate_fn: Optional[Callable[[Any, int], Tuple[str, list]]] = None,
     name: str = "model",
+    epoch_hook: Optional[Callable[[Any, int, Optional[np.ndarray], float], list]] = None,
+    place_state: Optional[Callable[[Any], Any]] = None,
 ) -> Tuple[Any, list, float]:
     """Run the training loop; returns (state, history, wall_time).
 
-    ``validate_fn(state, epoch)`` may return (log_suffix, extra_columns).
-    History rows are ``[epoch+1, mean_loss, *extra_columns]``.
+    ``train_step`` may return a scalar loss or a tuple of device scalars
+    (e.g. the GAN's (g, d, l1)); per-epoch means are reduced on device and
+    fetched once.
+
+    ``epoch_hook(state, epoch, mean_losses, epoch_time) -> history_row``
+    owns validation + the per-epoch log line when a trainer needs a
+    non-standard format; ``mean_losses`` is a numpy scalar/vector (None if
+    the epoch had no batches). Without it, the default hook logs the
+    reference's standard line and builds rows from ``validate_fn(state,
+    epoch) -> (log_suffix, extra_columns)`` as ``[epoch+1, mean_loss,
+    *extra_columns]``.
+
+    ``place_state`` re-places a freshly restored state (e.g. replicate over
+    a mesh) — the restore template is whatever ``state`` was passed in, so
+    mesh-sharded callers should device_put BEFORE calling fit and pass the
+    same placement here for the msgpack (host-side) restore path.
     """
     n_epoch_finished, history = 0, []
     if checkpoint_path:
         restored = ckpt.load_checkpoint_auto(checkpoint_path, state)
         if restored is not None:
             state, n_epoch_finished, history = restored
+            if place_state is not None:
+                state = place_state(state)
             logger.info("Checkpoint loaded with %d epoch finished.", n_epoch_finished)
         else:
             logger.info("No Checkpoint found. Training from beginning.")
+
+    if epoch_hook is None:
+        def epoch_hook(state, epoch, mean_losses, epoch_time):  # noqa: F811
+            mean_loss = float(mean_losses) if mean_losses is not None else 0.0
+            suffix, extra = "", []
+            if validate_fn is not None:
+                suffix, extra = validate_fn(state, epoch)
+            logger.info(
+                "\t| Epoch: %03d/%03d | Train time: %s | Train Loss: %.6f %s|",
+                epoch + 1, n_epoch,
+                timedelta(seconds=int(epoch_time)), mean_loss, suffix,
+            )
+            return [epoch + 1, mean_loss] + list(extra)
 
     logger.info("Start training the %s.", name)
     root_key = jax.random.PRNGKey(seed)
@@ -57,20 +91,14 @@ def fit(
         for b, batch in enumerate(batches_fn(epoch)):
             key = jax.random.fold_in(root_key, epoch * 100003 + b)
             state, loss = train_step(state, batch, key)
-            losses.append(loss)
-        mean_loss = (
-            float(jax.numpy.stack(losses).mean()) if losses else 0.0
+            losses.append(
+                jax.numpy.stack(loss) if isinstance(loss, (tuple, list)) else loss
+            )
+        mean_losses = (
+            np.asarray(jax.numpy.stack(losses).mean(axis=0)) if losses else None
         )
 
-        suffix, extra = "", []
-        if validate_fn is not None:
-            suffix, extra = validate_fn(state, epoch)
-        logger.info(
-            "\t| Epoch: %03d/%03d | Train time: %s | Train Loss: %.6f %s|",
-            epoch + 1, n_epoch,
-            timedelta(seconds=int(time.time() - epoch_start)), mean_loss, suffix,
-        )
-        history.append([epoch + 1, mean_loss] + list(extra))
+        history.append(epoch_hook(state, epoch, mean_losses, time.time() - epoch_start))
         if checkpoint_path and (epoch + 1) % checkpoint_freq == 0:
             ckpt.save_checkpoint_auto(checkpoint_path, state, epoch + 1, history)
             logger.info("\tCheckpoint saved.")

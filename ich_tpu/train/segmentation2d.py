@@ -36,6 +36,7 @@ from ich_tpu.data.core import SliceDataset2D, batch_indices
 from ich_tpu.ops import ct
 from ich_tpu.ops.metrics import batch_binary_confusion_matrix
 from ich_tpu.train import checkpoint as ckpt
+from ich_tpu.train.loop import fit
 from ich_tpu.train.state import TrainState, create_train_state, make_optimizer, make_schedule
 from ich_tpu.utils.config import LOSSES, TRAINERS
 from ich_tpu.utils import rng as rng_utils
@@ -228,47 +229,35 @@ class UNet2D:
         self._ensure_state(dataset.image_shape, steps_per_epoch)
         train_step = self._make_train_step()
 
-        n_epoch_finished, history = 0, []
-        if checkpoint_path:
-            restored = ckpt.load_checkpoint_auto(checkpoint_path, self.state)
-            if restored is not None:
-                self.state, n_epoch_finished, history = restored
-                logger.info("Checkpoint loaded with %d epoch finished.", n_epoch_finished)
-            else:
-                logger.info("No Checkpoint found. Training from beginning.")
-
-        logger.info("Start training the U-Net 2.5D.")
-        root_key = jax.random.PRNGKey(self.seed)
-        host_rng = np.random.default_rng(self.seed)
-        # replay host RNG to keep shuffles deterministic across resume
-        for _ in range(n_epoch_finished):
-            host_rng.permutation(n)
-
         images, masks = dataset.images, dataset.masks
         on_device = isinstance(images, jax.Array)
-        batch_sh = None
+        batch_sh = mask_sh = place_state = None
         if self.mesh is not None:
             # data-parallel layout: params/opt state replicated once, every
             # batch sharded over the mesh's 'data' axis (XLA inserts the
             # gradient psums + global BatchNorm statistics over ICI)
             from ich_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
-            self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+            place_state = lambda s: jax.device_put(s, replicated_sharding(self.mesh))
+            self.state = place_state(self.state)
             batch_sh = batch_sharding(self.mesh, images.ndim)
             # masks may be channel-less ((N, H, W) vs images (N, H, W, C)):
             # a rank-specific sharding, or device_put raises on rank mismatch
             mask_sh = batch_sharding(self.mesh, masks.ndim)
-        start_time = time.time()
 
-        for epoch in range(n_epoch_finished, self.n_epoch):
-            # device-scalar loss accumulation: no per-step host fetch, so
-            # JAX async dispatch keeps the step pipeline full (a float(loss)
-            # per batch stalls dispatch — worst on the tunneled platform)
-            losses, epoch_start = [], time.time()
+        host_rng = np.random.default_rng(self.seed)
+        drawn = [0]  # permutations consumed so far
+
+        def batches_fn(epoch):
+            # replay host RNG so shuffles stay deterministic across resume:
+            # epoch e always consumes the (e+1)-th permutation of this seed
+            while drawn[0] < epoch:
+                host_rng.permutation(n)
+                drawn[0] += 1
+            drawn[0] += 1
             for b, idx in enumerate(
                 batch_indices(n, self.batch_size, shuffle=True, rng=host_rng)
             ):
-                key = jax.random.fold_in(root_key, epoch * 100003 + b)
                 if on_device:
                     bi, bm = jnp.take(images, idx, axis=0), jnp.take(masks, idx, axis=0)
                 else:
@@ -276,12 +265,13 @@ class UNet2D:
                 if batch_sh is not None:
                     bi = jax.device_put(bi, batch_sh)
                     bm = jax.device_put(bm, mask_sh)
-                self.state, loss = train_step(self.state, bi, bm, key)
-                losses.append(loss)
                 if self.print_progress:
                     print_progressbar(b, steps_per_epoch, name="\t\tTrain Batch", erase=True)
-            mean_loss = float(jnp.stack(losses).mean()) if losses else 0.0
+                yield bi, bm
 
+        def epoch_hook(state, epoch, mean_losses, epoch_time):
+            self.state = state  # evaluate() below reads the live state
+            mean_loss = float(mean_losses) if mean_losses is not None else 0.0
             valid_str = ""
             v_all = v_pos = None
             if valid_dataset is not None:
@@ -293,30 +283,25 @@ class UNet2D:
                 )
             logger.info(
                 "\t| Epoch: %03d/%03d | Train time: %s | Train Loss: %.6f %s|",
-                epoch + 1,
-                self.n_epoch,
-                timedelta(seconds=int(time.time() - epoch_start)),
-                mean_loss,
-                valid_str,
+                epoch + 1, self.n_epoch,
+                timedelta(seconds=int(epoch_time)), mean_loss, valid_str,
             )
-            history.append([epoch + 1, mean_loss, v_all, v_pos])
-            if checkpoint_path and (epoch + 1) % self.checkpoint_freq == 0:
-                ckpt.save_checkpoint_auto(checkpoint_path, self.state, epoch + 1, history)
-                logger.info("\tCheckpoint saved.")
-            from ich_tpu.utils import preemption
+            return [epoch + 1, mean_loss, v_all, v_pos]
 
-            if preemption.requested():
-                if checkpoint_path:
-                    ckpt.save_checkpoint_auto(checkpoint_path, self.state, epoch + 1, history)
-                logger.warning("Preemption: checkpointed after epoch %d.", epoch + 1)
-                break
-
-        self.outputs["train"]["time"] = time.time() - start_time
-        self.outputs["train"]["evolution"] = history
-        logger.info(
-            "Finished training U-Net 2D in %s",
-            timedelta(seconds=int(self.outputs["train"]["time"])),
+        self.state, history, wall = fit(
+            self.state,
+            lambda s, b, k: train_step(s, b[0], b[1], k),
+            batches_fn,
+            self.n_epoch,
+            seed=self.seed,
+            checkpoint_path=checkpoint_path,
+            checkpoint_freq=self.checkpoint_freq,
+            name="U-Net 2.5D",
+            epoch_hook=epoch_hook,
+            place_state=place_state,
         )
+        self.outputs["train"]["time"] = wall
+        self.outputs["train"]["evolution"] = history
 
     def evaluate(
         self,

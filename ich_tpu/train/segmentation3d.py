@@ -35,7 +35,7 @@ from ich_tpu.ops.metrics import (
     iou_from_counts,
 )
 from ich_tpu.ops.sliding_window import sliding_window_inference
-from ich_tpu.train import checkpoint as ckpt
+from ich_tpu.train.loop import fit
 from ich_tpu.train.segmentation2d import UNet2D
 from ich_tpu.utils.config import TRAINERS
 
@@ -143,21 +143,7 @@ class UNet3D(UNet2D):
         self._ensure_state(self.patch_size, self.steps_per_epoch_cfg)
         train_step = self._make_train_step()
 
-        n_epoch_finished, history = 0, []
-        if checkpoint_path:
-            restored = ckpt.load_checkpoint_auto(checkpoint_path, self.state)
-            if restored is not None:
-                self.state, n_epoch_finished, history = restored
-                logger.info("Checkpoint loaded with %d epoch finished.", n_epoch_finished)
-            else:
-                logger.info("No Checkpoint found. Training from beginning.")
-
-        logger.info("Start training the 3D U-Net (patch-based).")
-        root_key = jax.random.PRNGKey(self.seed)
-        host_rng = np.random.default_rng(self.seed + n_epoch_finished)
-        start_time = time.time()
-
-        batch_sh = None
+        batch_sh = place_state = None
         if self.mesh is not None:
             # data-parallel like the 2D trainer: params replicated, patch
             # batches sharded over 'data' (XLA inserts the gradient psums).
@@ -166,7 +152,8 @@ class UNet3D(UNet2D):
             # 3D train step.
             from ich_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
-            self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+            place_state = lambda s: jax.device_put(s, replicated_sharding(self.mesh))
+            self.state = place_state(self.state)
             batch_sh = batch_sharding(self.mesh, 4)  # (B, D, H, W)
 
         sampler = None
@@ -196,27 +183,37 @@ class UNet3D(UNet2D):
                     est / 2**20, budget / 2**20,
                 )
 
-        for epoch in range(n_epoch_finished, self.n_epoch):
-            # device scalars, fetched once per epoch (keeps dispatch async)
-            losses, epoch_start = [], time.time()
-            for b in range(self.steps_per_epoch_cfg):
-                key = jax.random.fold_in(root_key, epoch * 100003 + b)
-                if sampler is not None:
-                    ks, key = jax.random.split(key)
-                    imgs, msks = sampler(ks, self.batch_size)
-                else:
-                    np_imgs, np_msks = sample_patches(
-                        host_rng, dataset, self.batch_size, self.patch_size,
-                        self.pos_frac,
-                    )
-                    imgs, msks = jnp.asarray(np_imgs), jnp.asarray(np_msks)
-                if batch_sh is not None:
-                    imgs = jax.device_put(imgs, batch_sh)
-                    msks = jax.device_put(msks, batch_sh)
-                self.state, loss = train_step(self.state, imgs, msks, key)
-                losses.append(loss)
-            mean_loss = float(jnp.stack(losses).mean()) if losses else 0.0
+        # resume convention: the host sampler rng is seeded with
+        # seed + n_epoch_finished — created lazily on the first epoch of
+        # THIS run (fit() owns the restore, so that index arrives here as
+        # the first batches_fn epoch)
+        rng_box = {}
 
+        def batches_fn(epoch):
+            if "rng" not in rng_box:
+                rng_box["rng"] = np.random.default_rng(self.seed + epoch)
+            return range(self.steps_per_epoch_cfg)
+
+        def run_step(state, _b, key):
+            # patch draw lives HERE (not in batches_fn) so the sampler key
+            # split stays tied to the per-step fold key
+            if sampler is not None:
+                ks, key = jax.random.split(key)
+                imgs, msks = sampler(ks, self.batch_size)
+            else:
+                np_imgs, np_msks = sample_patches(
+                    rng_box["rng"], dataset, self.batch_size, self.patch_size,
+                    self.pos_frac,
+                )
+                imgs, msks = jnp.asarray(np_imgs), jnp.asarray(np_msks)
+            if batch_sh is not None:
+                imgs = jax.device_put(imgs, batch_sh)
+                msks = jax.device_put(msks, batch_sh)
+            return train_step(state, imgs, msks, key)
+
+        def epoch_hook(state, epoch, mean_losses, epoch_time):
+            self.state = state  # evaluate() below reads the live state
+            mean_loss = float(mean_losses) if mean_losses is not None else 0.0
             valid_str = ""
             v_all = v_pos = None
             if valid_dataset is not None:
@@ -227,27 +224,24 @@ class UNet3D(UNet2D):
             logger.info(
                 "\t| Epoch: %03d/%03d | Train time: %s | Train Loss: %.6f %s|",
                 epoch + 1, self.n_epoch,
-                timedelta(seconds=int(time.time() - epoch_start)),
-                mean_loss, valid_str,
+                timedelta(seconds=int(epoch_time)), mean_loss, valid_str,
             )
-            history.append([epoch + 1, mean_loss, v_all, v_pos])
-            if checkpoint_path and (epoch + 1) % self.checkpoint_freq == 0:
-                ckpt.save_checkpoint_auto(checkpoint_path, self.state, epoch + 1, history)
-                logger.info("\tCheckpoint saved.")
-            from ich_tpu.utils import preemption
+            return [epoch + 1, mean_loss, v_all, v_pos]
 
-            if preemption.requested():
-                if checkpoint_path:
-                    ckpt.save_checkpoint_auto(checkpoint_path, self.state, epoch + 1, history)
-                logger.warning("Preemption: checkpointed after epoch %d.", epoch + 1)
-                break
-
-        self.outputs["train"]["time"] = time.time() - start_time
-        self.outputs["train"]["evolution"] = history
-        logger.info(
-            "Finished training 3D U-Net in %s",
-            timedelta(seconds=int(self.outputs["train"]["time"])),
+        self.state, history, wall = fit(
+            self.state,
+            run_step,
+            batches_fn,
+            self.n_epoch,
+            seed=self.seed,
+            checkpoint_path=checkpoint_path,
+            checkpoint_freq=self.checkpoint_freq,
+            name="3D U-Net (patch-based)",
+            epoch_hook=epoch_hook,
+            place_state=place_state,
         )
+        self.outputs["train"]["time"] = wall
+        self.outputs["train"]["evolution"] = history
 
     def segment_volume(
         self,
