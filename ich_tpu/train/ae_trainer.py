@@ -108,6 +108,7 @@ class AE(_SSLBase):
             self.state, train_step, batches_fn, self.n_epoch, seed=self.seed,
             checkpoint_path=checkpoint_path, checkpoint_freq=self.checkpoint_freq,
             validate_fn=validate, name="reconstruction AE",
+            place_state=self._place_state(),
         )
         self.outputs["train"]["time"] = wall
         self.outputs["train"]["evolution"] = history

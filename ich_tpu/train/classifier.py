@@ -111,6 +111,7 @@ class _ClassifierBase(_SSLBase):
             self.state, step, batches_fn, self.n_epoch, seed=self.seed,
             checkpoint_path=checkpoint_path, checkpoint_freq=self.checkpoint_freq,
             validate_fn=validate, name=type(self).__name__,
+            place_state=self._place_state(),
         )
         self.outputs["train"]["time"] = wall
         self.outputs["train"]["evolution"] = history

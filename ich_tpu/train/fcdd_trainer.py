@@ -122,6 +122,7 @@ class FCDD(_SSLBase):
             self.state, lambda s, b, k: step(s, b[0], b[1], k), batches_fn,
             self.n_epoch, seed=self.seed, checkpoint_path=checkpoint_path,
             checkpoint_freq=self.checkpoint_freq, validate_fn=validate, name="FCDD",
+            place_state=self._place_state(),
         )
         self.outputs["train"]["time"] = wall
         self.outputs["train"]["evolution"] = history

@@ -145,6 +145,16 @@ class _SSLBase:
 
             self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
 
+    def _place_state(self):
+        """``place_state`` hook for :func:`ich_tpu.train.loop.fit`: re-places
+        a state restored from the msgpack (host-side) store back onto the
+        mesh. None without a mesh."""
+        if self.mesh is None:
+            return None
+        from ich_tpu.parallel.mesh import replicated_sharding
+
+        return lambda s: jax.device_put(s, replicated_sharding(self.mesh))
+
     def _place(self, x):
         """Shard a batched array over the mesh's data axis (no-op without
         a mesh)."""
@@ -312,6 +322,7 @@ class ContextRestoration(_SSLBase):
             self.state, lambda s, b, k: step(s, b, k), batches_fn,
             self.n_epoch, seed=self.seed, checkpoint_path=checkpoint_path,
             checkpoint_freq=self.checkpoint_freq, name="context-restoration U-Net",
+            place_state=self._place_state(),
         )
         self.outputs["train"]["time"] = wall
         self.outputs["train"]["evolution"] = history
@@ -410,6 +421,7 @@ class Contrastive(_SSLBase):
             self.state, lambda s, b, k: step(s, b, k), batches_fn,
             self.n_epoch, seed=self.seed, checkpoint_path=checkpoint_path,
             checkpoint_freq=self.checkpoint_freq, name=name,
+            place_state=self._place_state(),
         )
         self.outputs["train"]["time"] = wall
         self.outputs["train"]["evolution"] = history

@@ -237,3 +237,37 @@ def test_unet3d_trainer_mesh(mesh):
     # params actually live replicated on the mesh
     leaf = jax.tree_util.tree_leaves(t.state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+@pytest.mark.slow
+def test_mesh_resume_replaces_state_on_mesh(mesh, tmp_path):
+    """Resuming a mesh run from the msgpack (host-side) store must re-place
+    the restored state on the mesh (loop.fit's place_state hook): training
+    continues and the final params are replicated over all 8 devices."""
+
+    from ich_tpu.data.core import SliceDataset2D
+    from ich_tpu.models import UNet
+    from ich_tpu.train.ssl import ContextRestoration
+
+    rng = np.random.default_rng(3)
+    imgs = rng.uniform(size=(16, 32, 32)).astype(np.float32)
+    ds = SliceDataset2D(images=imgs, masks=np.zeros_like(imgs),
+                        vol_ids=np.zeros(16, int), slice_nbrs=np.arange(16))
+    path = str(tmp_path / "cr_ckpt.bin")
+
+    def trainer(n_epoch):
+        return ContextRestoration(
+            UNet(depth=3, top_filter=4, p_dropout=0.0, norm="group"),
+            n_epoch=n_epoch, batch_size=16, lr=1e-3, seed=0,
+            checkpoint_freq=1, mesh=mesh,
+        )
+
+    trainer(2).train(ds, checkpoint_path=path)
+
+    t2 = trainer(4)
+    t2.train(ds, checkpoint_path=path)
+    hist = t2.outputs["train"]["evolution"]
+    assert [h[0] for h in hist] == [1, 2, 3, 4]
+    assert np.isfinite(hist[-1][1])
+    leaf = jax.tree_util.tree_leaves(t2.state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
