@@ -126,3 +126,66 @@ def test_training_dynamics_volumetric_dice_parity(tmp_path):
     ref_ev = [e[1] for e in ref_tr.outputs["train"]["evolution"]]
     ich_ev = [e[1] for e in ich_tr.outputs["train"]["evolution"]]
     assert ref_ev[-1] < ref_ev[0] and ich_ev[-1] < ich_ev[0]
+
+
+class _LabeledAdapter(torch.utils.data.Dataset):
+    """Feeds a LabeledSliceDataset to the reference BinaryClassifier
+    ((1,H,W) image, label, idx tuples — ``Classifier.py:137-142,221-224``)."""
+
+    def __init__(self, ds):
+        self.images = np.asarray(ds.images, np.float32)
+        self.labels = np.asarray(ds.labels, np.int64)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        return torch.from_numpy(self.images[i][None]), int(self.labels[i]), i
+
+
+@needs_ref
+def test_classifier_training_dynamics_parity(tmp_path):
+    """Reference BinaryClassifier (torch CPU, incl. its softmax-before-CE
+    defect ``Classifier.py:147-148``) vs ich_tpu.train.BinaryClassifier on
+    the same synthetic ICH-slice task: both must learn it and agree on the
+    final ROC-AUC/accuracy within tolerance."""
+    _import_reference_trainer()  # installs the skimage/nibabel stubs
+    import torch.optim as optim
+
+    from src.models.networks.UNet import UNet_Encoder as RefEncoder  # noqa: E402
+    from src.models.optim.Classifier import BinaryClassifier as RefClf  # noqa: E402
+
+    from ich_tpu.data.core import LabeledSliceDataset
+    from ich_tpu.models import UNetEncoder
+    from ich_tpu.train.classifier import BinaryClassifier
+
+    data = synthetic_ich_slices(n_slices=64, size=32, n_volumes=8, seed=9,
+                                positive_frac=0.5)
+    labels = (np.asarray(data.masks).reshape(len(data.images), -1).sum(1) > 0)
+    ds = LabeledSliceDataset(images=data.images, labels=labels.astype(np.int64))
+
+    hp = dict(n_epoch=10, batch_size=8, lr=1e-3, weight_decay=1e-6)
+    enc = dict(depth=3, top_filter=8, p_dropout=0.0)
+
+    torch.manual_seed(0)
+    tnet = RefEncoder(in_channels=1, MLP_head=[16, 2], **enc)
+    ref_tr = RefClf(
+        tnet, lr_scheduler=optim.lr_scheduler.ExponentialLR,
+        lr_scheduler_kwargs=dict(gamma=0.95), device="cpu", **hp,
+    )
+    ref_tr.train(_LabeledAdapter(ds), checkpoint_path=str(tmp_path / "no.pt"))
+    ref_auc, ref_acc, *_ = ref_tr.evaluate(
+        _LabeledAdapter(ds), save_tsne=False, return_scores=True
+    )
+
+    ich_tr = BinaryClassifier(
+        UNetEncoder(mlp_head=(16, 2), **enc), lr_scheduler="ExponentialLR",
+        lr_scheduler_kwargs={"gamma": 0.95}, seed=0, **hp,
+    )
+    ich_tr.train(ds)
+    m = ich_tr.evaluate(ds, print_to_logger=False)
+
+    assert ref_auc > 0.9 and ref_acc > 0.85, (ref_auc, ref_acc)
+    assert m["auc"] > 0.9 and m["accuracy"] > 0.85, m
+    assert abs(m["auc"] - ref_auc) < 0.08, (m["auc"], ref_auc)
+    assert abs(m["accuracy"] - ref_acc) < 0.12, (m["accuracy"], ref_acc)
