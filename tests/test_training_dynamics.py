@@ -189,3 +189,94 @@ def test_classifier_training_dynamics_parity(tmp_path):
     assert m["auc"] > 0.9 and m["accuracy"] > 0.85, m
     assert abs(m["auc"] - ref_auc) < 0.08, (m["auc"], ref_auc)
     assert abs(m["accuracy"] - ref_acc) < 0.12, (m["accuracy"], ref_acc)
+
+
+SWAP = dict(n=4, w=(6, 12), h=(6, 12))
+
+
+class _SwapAdapter(torch.utils.data.Dataset):
+    """Feeds the reference ContextRestoration trainer using the reference's
+    OWN RandomPatchSwap corruption ((target, corrupted, idx) tuples —
+    ``ContextRestoration.py:151``, ``RSNA_dataset`` mode
+    ``datasets.py:405-408``)."""
+
+    def __init__(self, images, swap_tf):
+        self.images = np.asarray(images, np.float32)
+        self.swap_tf = swap_tf
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        im = self.images[i]
+        corrupted = self.swap_tf(im)
+        return torch.from_numpy(im[None]), torch.from_numpy(corrupted[None]), i
+
+
+@needs_ref
+def test_context_restoration_training_dynamics_parity(tmp_path):
+    """Reference ContextRestoration (torch CPU, its own RandomPatchSwap
+    corruption) vs ich_tpu's (on-device corruption): after training on the
+    same slices, both must restore the SAME fixed corrupted set to within a
+    comparable MSE (each far below the corruption baseline)."""
+    _import_reference_trainer()  # installs the skimage/nibabel stubs
+    import torch.optim as optim
+
+    import src.dataset.transforms as ref_tf  # noqa: E402
+    from src.models.optim.ContextRestoration import (  # noqa: E402
+        ContextRestoration as RefCR,
+    )
+
+    from ich_tpu.data.core import SliceDataset2D
+    from ich_tpu.train.ssl import ContextRestoration
+
+    data = synthetic_ich_slices(n_slices=64, size=32, n_volumes=8, seed=11)
+    images = np.asarray(data.images, np.float32)
+    ds = SliceDataset2D(images=images, masks=np.zeros_like(images),
+                        vol_ids=np.asarray(data.vol_ids),
+                        slice_nbrs=np.asarray(data.slice_nbrs))
+
+    # 25 epochs @ 2e-3: measured baseline 0.0668, ref 0.0129, ich 0.0076 —
+    # both clear the 0.5x-baseline bar with margin
+    hp = dict(n_epoch=25, batch_size=8, lr=2e-3, weight_decay=1e-6)
+
+    torch.manual_seed(0)
+    ref_unet_mod = sys.modules["src.models.networks.UNet"]
+    tnet = ref_unet_mod.UNet(in_channels=1, out_channels=1, **NET)
+    ref_tr = RefCR(tnet, lr_scheduler=optim.lr_scheduler.ExponentialLR,
+                   lr_scheduler_kwargs=dict(gamma=0.95), device="cpu", **hp)
+    swap_tf = ref_tf.RandomPatchSwap(n=SWAP["n"], w=list(SWAP["w"]),
+                                     h=list(SWAP["h"]), rotate=False)
+    ref_tr.train(_SwapAdapter(images, swap_tf),
+                 checkpoint_path=str(tmp_path / "no.pt"))
+
+    ich_tr = ContextRestoration(
+        UNet(norm="batch", **NET), n_swap=SWAP["n"], swap_w=SWAP["w"],
+        swap_h=SWAP["h"], swap_rotate=False, lr_scheduler="ExponentialLR",
+        lr_scheduler_kwargs={"gamma": 0.95}, seed=0, **hp,
+    )
+    ich_tr.train(ds)
+
+    # identical FIXED corrupted set for both models (reference transform,
+    # seeded): restoration quality is the parity metric
+    np.random.seed(123)
+    corrupted = np.stack([swap_tf(im) for im in images])
+    baseline = float(np.mean((corrupted - images) ** 2))
+
+    with torch.no_grad():
+        tnet.eval()
+        ref_rec = tnet(torch.from_numpy(corrupted[:, None])).numpy()[:, 0]
+    ref_mse = float(np.mean((ref_rec - images) ** 2))
+
+    import jax
+    import jax.numpy as jnp
+
+    rec = jax.jit(lambda v, x: ich_tr.net.apply(v, x, train=False))(
+        ich_tr._variables(), jnp.asarray(corrupted)[..., None]
+    )
+    ich_mse = float(np.mean((np.asarray(rec)[..., 0] - images) ** 2))
+
+    assert ref_mse < 0.5 * baseline, (ref_mse, baseline)
+    assert ich_mse < 0.5 * baseline, (ich_mse, baseline)
+    # same order of restoration quality
+    assert ich_mse < 3 * ref_mse and ref_mse < 3 * ich_mse, (ich_mse, ref_mse)
