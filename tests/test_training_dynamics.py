@@ -280,3 +280,73 @@ def test_context_restoration_training_dynamics_parity(tmp_path):
     assert ich_mse < 0.5 * baseline, (ich_mse, baseline)
     # same order of restoration quality
     assert ich_mse < 3 * ref_mse and ref_mse < 3 * ich_mse, (ich_mse, ref_mse)
+
+
+class _ImgAdapter(torch.utils.data.Dataset):
+    """Feeds the reference AE trainer ((image, idx) tuples — ``AE.py:104``)."""
+
+    def __init__(self, images):
+        self.images = np.asarray(images, np.float32)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        return torch.from_numpy(self.images[i][None]), i
+
+
+@needs_ref
+def test_ae_training_dynamics_parity(tmp_path):
+    """Reference AE (torch CPU, L1+L2+epoch-scheduled-GDL — ``AE.py:95-139``)
+    vs ich_tpu.train.AE on the same normal slices, compared on the loss
+    trajectory phase-by-phase: totals at the end of the L1+L2 phase and at
+    the end of the GDL phase must land in the same band. (The λ=1 GDL term
+    dominates the total by ~100x on this task in BOTH frameworks — a
+    direct consequence of the parity-matched GDL definition — so recon
+    quality alone is not a separating metric once GDL is on.)"""
+    _import_reference_trainer()  # installs the skimage/nibabel stubs
+    sys.modules["skimage"].img_as_ubyte = lambda x: x  # AE.py:19 import-time only
+    import torch.optim as optim
+
+    from src.models.networks.AE_net import AE_net as RefAENet  # noqa: E402
+    from src.models.optim.AE import AE as RefAE  # noqa: E402
+
+    from ich_tpu.data.core import LabeledSliceDataset
+    from ich_tpu.models import AENet
+    from ich_tpu.train.ae_trainer import AE
+
+    data = synthetic_ich_slices(n_slices=64, size=32, n_volumes=8, seed=13,
+                                positive_frac=0.0)  # normal slices only
+    images = np.asarray(data.images, np.float32)
+    ds = LabeledSliceDataset(images=images, labels=np.zeros(len(images), np.int64))
+
+    net_kw = dict(latent_channels=16, n_conv=2, kernel_size=5)
+    hp = dict(n_epoch=20, batch_size=8, lr=2e-3, weight_decay=1e-6,
+              lambda_GDL={"0": 0.0, "10": 1.0})
+
+    torch.manual_seed(0)
+    # NB the reference spells it "bottelneck_channels" (AE_net.py:79)
+    tnet = RefAENet(in_channels=1, bottelneck_channels=16, **net_kw)
+    ref_tr = RefAE(tnet, lr_scheduler=optim.lr_scheduler.ExponentialLR,
+                   lr_scheduler_kwargs=dict(gamma=0.95), device="cpu", **hp)
+    ref_tr.train(_ImgAdapter(images), checkpoint_path=str(tmp_path / "no.pt"))
+
+    ich_tr = AE(AENet(bottleneck_channels=16, **net_kw),
+                lr_scheduler="ExponentialLR",
+                lr_scheduler_kwargs={"gamma": 0.95}, seed=0, **hp)
+    ich_tr.train(ds)
+
+    ref_ev = ref_tr.outputs["train"]["evolution"]["data"]  # [ep, tot, l1, l2, gdl]
+    ich_ev = ich_tr.outputs["train"]["evolution"]  # [ep, tot]
+    spread = float(np.mean(np.abs(images - images.mean())))
+
+    # end of the L1+L2 phase (epoch 10): both fit the recon task
+    ref_pre, ich_pre = float(ref_ev[9][1]), float(ich_ev[9][1])
+    assert ref_pre < spread, (ref_pre, spread)
+    assert ich_pre < spread, (ich_pre, spread)
+    assert ich_pre < 3 * ref_pre and ref_pre < 3 * ich_pre, (ich_pre, ref_pre)
+    # GDL phase: λ=1 makes the (parity-matched) GDL term dominate — both
+    # totals must jump into the SAME band, orders of magnitude above pre
+    ref_post, ich_post = float(ref_ev[-1][1]), float(ich_ev[-1][1])
+    assert ref_post > 5 * ref_pre and ich_post > 5 * ich_pre, (ref_post, ich_post)
+    assert ich_post < 3 * ref_post and ref_post < 3 * ich_post, (ich_post, ref_post)
