@@ -350,3 +350,70 @@ def test_ae_training_dynamics_parity(tmp_path):
     ref_post, ich_post = float(ref_ev[-1][1]), float(ich_ev[-1][1])
     assert ref_post > 5 * ref_pre and ich_post > 5 * ich_pre, (ref_post, ich_post)
     assert ich_post < 3 * ref_post and ref_post < 3 * ich_post, (ich_post, ref_post)
+
+
+class _AnomalyAdapter(torch.utils.data.Dataset):
+    """Feeds the reference FCDD trainer ((image, label, idx) — ``FCDD.py:96-97``)."""
+
+    def __init__(self, images, labels):
+        self.images = np.asarray(images, np.float32)
+        self.labels = np.asarray(labels, np.int64)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        return torch.from_numpy(self.images[i][None]), int(self.labels[i]), i
+
+
+@needs_ref
+def test_fcdd_training_dynamics_parity(tmp_path):
+    """Reference FCDD (torch CPU, HSC loss on the VGG score map —
+    ``FCDD.py:91-129``, AUC at ``:148-183``) vs ich_tpu.train.FCDD on the
+    same labeled slices: both must separate lesion slices (AUC) and land
+    their HSC loss in the same band."""
+    _import_reference_trainer()  # installs the skimage/nibabel stubs
+    sys.modules["skimage"].img_as_ubyte = lambda x: x  # FCDD.py:21 import-time only
+
+    from src.models.networks.FCDD_net import FCDD_CNN_VGG as RefNet  # noqa: E402
+    from src.models.optim.FCDD import FCDD as RefFCDD  # noqa: E402
+
+    from ich_tpu.data.core import LabeledSliceDataset
+    from ich_tpu.models import FCDD_CNN_VGG
+    from ich_tpu.train.fcdd_trainer import FCDD as IchFCDD
+
+    size = 32
+
+    def make(seed, n):
+        d = synthetic_ich_slices(n_slices=n, size=size, n_volumes=8, seed=seed,
+                                 positive_frac=0.5)
+        labels = (np.asarray(d.masks).reshape(n, -1).sum(-1) > 0).astype(np.int64)
+        return np.asarray(d.images, np.float32), labels
+
+    xtr, ytr = make(7, 64)
+    xva, yva = make(99, 32)
+
+    hp = dict(n_epoch=12, batch_size=8, lr=1e-3, weight_decay=1e-6)
+
+    torch.manual_seed(0)
+    tnet = RefNet(in_shape=[1, size, size], bias=True)
+    ref_tr = RefFCDD(tnet, lr_scheduler_kwargs=dict(gamma=0.95), device="cpu", **hp)
+    ref_tr.train(_AnomalyAdapter(xtr, ytr), checkpoint_path=str(tmp_path / "no.pt"))
+    _, ref_auc = ref_tr.validate(_AnomalyAdapter(xva, yva))
+
+    ich_tr = IchFCDD(FCDD_CNN_VGG(), artificial_anomaly=False, seed=0,
+                     lr_scheduler_kwargs={"gamma": 0.95}, **hp)
+    ich_tr.train(LabeledSliceDataset(images=xtr, labels=ytr))
+    ich_auc = ich_tr.validate(LabeledSliceDataset(images=xva, labels=yva))
+
+    # both discriminate held-out lesion slices, to the same degree
+    assert ref_auc > 0.9, ref_auc
+    assert ich_auc > 0.9, ich_auc
+    assert abs(ref_auc - ich_auc) < 0.1, (ref_auc, ich_auc)
+
+    # HSC loss trajectories: both converge, finals in the same band
+    ref_l = [r[1] for r in ref_tr.outputs["train"]["evolution"]["data"]]
+    ich_l = [r[1] for r in ich_tr.outputs["train"]["evolution"]]
+    assert ref_l[-1] < 0.3 * ref_l[0], ref_l
+    assert ich_l[-1] < 0.3 * ich_l[0], ich_l
+    assert ich_l[-1] < 3 * ref_l[-1] and ref_l[-1] < 3 * ich_l[-1], (ich_l[-1], ref_l[-1])
