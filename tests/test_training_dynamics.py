@@ -417,3 +417,107 @@ def test_fcdd_training_dynamics_parity(tmp_path):
     assert ref_l[-1] < 0.3 * ref_l[0], ref_l
     assert ich_l[-1] < 0.3 * ich_l[0], ich_l
     assert ich_l[-1] < 3 * ref_l[-1] and ref_l[-1] < 3 * ich_l[-1], (ich_l[-1], ref_l[-1])
+
+
+class _TwoViewAdapter(torch.utils.data.Dataset):
+    """Feeds the reference Contrastive trainer ((view1, view2, idx) —
+    ``Contrastive.py:130-133``) with views matched in distribution to
+    ``Compose(RandomCropResize((0.4, 0.8), square), HFlip(0.5))``.
+
+    NB jitter transforms are deliberately absent: at this toy scale the
+    NT-Xent objective has a collapse attractor, and with brightness/
+    contrast jitter the reference's own torch trainer falls into it
+    deterministically (params move, embeddings collapse to z-std 1e-3,
+    loss pinned at ln(2B-1)); crop+flip views keep BOTH frameworks in the
+    escaping basin so trajectories are comparable."""
+
+    def __init__(self, images, seed=0):
+        self.images = np.asarray(images, np.float32)
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.images)
+
+    def _view(self, im):
+        h0, w0 = im.shape
+        s = self.rng.uniform(0.4, 0.8)  # area scale, square aspect
+        h = max(1, int(round(h0 * np.sqrt(s))))
+        w = max(1, int(round(w0 * np.sqrt(s))))
+        i = int(self.rng.integers(0, h0 - h + 1))
+        j = int(self.rng.integers(0, w0 - w + 1))
+        t = torch.from_numpy(im[i:i + h, j:j + w].copy())[None, None]
+        v = torch.nn.functional.interpolate(
+            t, size=(h0, w0), mode="bilinear", align_corners=False)[0, 0].numpy()
+        if self.rng.random() < 0.5:
+            v = v[:, ::-1].copy()
+        return v.astype(np.float32)
+
+    def __getitem__(self, i):
+        im = self.images[i]
+        return (torch.from_numpy(self._view(im)[None]),
+                torch.from_numpy(self._view(im)[None]), i)
+
+
+@needs_ref
+def test_contrastive_training_dynamics_parity(tmp_path):
+    """Reference global Contrastive (torch CPU, NT-Xent on the normalized
+    encoder head — ``Contrastive.py:87-178``) vs ich_tpu.train.Contrastive,
+    from IDENTICAL initial weights (torch init ported via
+    ``ich_tpu.interop.torch_port``) on the same slices with
+    distribution-matched crop+flip views: both must start at the chance
+    plateau ln(2B-1) and escape it to the same loss band."""
+    _import_reference_trainer()
+    import torch.optim as toptim
+
+    from src.models.networks.UNet import UNet_Encoder as RefEnc  # noqa: E402
+    from src.models.optim.Contrastive import Contrastive as RefContrastive  # noqa: E402
+    from src.models.optim.LossFunctions import InfoNCELoss  # noqa: E402
+
+    import ich_tpu.ops.transforms as T
+    from ich_tpu.data.core import LabeledSliceDataset
+    from ich_tpu.interop import torch_port
+    from ich_tpu.models import UNetEncoder
+    from ich_tpu.train.ssl import Contrastive as IchContrastive
+
+    n = 64
+    data = synthetic_ich_slices(n_slices=n, size=32, n_volumes=8, seed=11,
+                                positive_frac=0.5)
+    images = np.asarray(data.images, np.float32)
+
+    hp = dict(n_epoch=30, batch_size=8, lr=5e-3, weight_decay=1e-6)
+
+    torch.manual_seed(0)
+    tnet = RefEnc(depth=3, top_filter=8, in_channels=1, MLP_head=[32, 16],
+                  p_dropout=0.0, use_3D=False)
+    # .copy(): .numpy() aliases the live CPU tensors — without it the
+    # "init" snapshot would silently become the reference's TRAINED weights
+    init_sd = {k: v.detach().cpu().numpy().copy()
+               for k, v in tnet.state_dict().items()}
+    ref_tr = RefContrastive(
+        tnet, lr_scheduler=toptim.lr_scheduler.ExponentialLR,
+        lr_scheduler_kwargs=dict(gamma=0.95), loss_fn=InfoNCELoss,
+        loss_fn_kwargs=dict(set_size=hp["batch_size"], tau=0.5, device="cpu"),
+        device="cpu", is_global=True, **hp)
+    ref_tr.train(_TwoViewAdapter(images), checkpoint_path=str(tmp_path / "no.pt"))
+
+    aug = T.Compose(T.RandomCropResize((0.4, 0.8), (1.0, 1.0)), T.HFlip(0.5))
+    ich_tr = IchContrastive(
+        UNetEncoder(depth=3, top_filter=8, mlp_head=(32, 16), p_dropout=0.0),
+        is_global=True, tau=0.5, aug_pipeline=aug, seed=0,
+        lr_scheduler_kwargs={"gamma": 0.95}, **hp)
+    ich_tr.transfer_weights(torch_port.port_unet_encoder(init_sd))
+    ich_tr.train(LabeledSliceDataset(images=images, labels=np.zeros(n, np.int64)))
+
+    ref_l = [r[1] for r in ref_tr.outputs["train"]["evolution"]]
+    ich_l = [float(r[1]) for r in ich_tr.outputs["train"]["evolution"]]
+    chance = np.log(2 * hp["batch_size"] - 1)  # ln(15)
+
+    # identical init -> both start on the chance plateau
+    assert abs(ref_l[0] - chance) < 0.1, (ref_l[0], chance)
+    assert abs(ich_l[0] - chance) < 0.1, (ich_l[0], chance)
+    # both escape it (the collapse basin would pin the loss at `chance`)
+    assert ref_l[-1] < chance - 0.5, ref_l
+    assert ich_l[-1] < chance - 0.5, ich_l
+    # finals in the same band (measured: ref 1.53, ich 1.80)
+    assert ich_l[-1] < 1.6 * ref_l[-1] and ref_l[-1] < 1.6 * ich_l[-1], \
+        (ich_l[-1], ref_l[-1])
