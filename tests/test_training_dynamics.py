@@ -521,3 +521,108 @@ def test_contrastive_training_dynamics_parity(tmp_path):
     # finals in the same band (measured: ref 1.53, ich 1.80)
     assert ich_l[-1] < 1.6 * ref_l[-1] and ref_l[-1] < 1.6 * ich_l[-1], \
         (ich_l[-1], ref_l[-1])
+
+
+class _ImageMaskAdapter(torch.utils.data.Dataset):
+    """Feeds the reference SNPatchGAN trainer ((image, mask) —
+    ``SNPatchGAN.py:150-152``) with inpainting masks sampled from a pool
+    pre-drawn by ``ich_tpu.ops.masks.random_ff_masks`` — the SAME mask
+    distribution the ich_tpu trainer draws on-device each step."""
+
+    def __init__(self, images, mask_pool, seed=0):
+        self.images = np.asarray(images, np.float32)
+        self.masks = np.asarray(mask_pool, np.float32)
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        m = self.masks[self.rng.integers(0, len(self.masks))]
+        return (torch.from_numpy(self.images[i][None]),
+                torch.from_numpy(m[None]))
+
+
+class _FixedPairAdapter(torch.utils.data.Dataset):
+    """Reference GAN validation set ((image, mask, idx) —
+    ``SNPatchGAN.py:250-258``)."""
+
+    def __init__(self, images, masks):
+        self.images = np.asarray(images, np.float32)
+        self.masks = np.asarray(masks, np.float32)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        return (torch.from_numpy(self.images[i][None]),
+                torch.from_numpy(self.masks[i][None]), i)
+
+
+@needs_ref
+def test_gan_training_dynamics_parity(tmp_path):
+    """Reference SNPatchGAN (torch CPU, hinge D + DiscountedL1+hinge G —
+    ``SNPatchGAN.py:150-196``) vs ich_tpu.train.SNPatchGAN on the same
+    lesion-free slices with a matched free-form-mask distribution: the
+    DiscountedL1 must improve in both and land in the same band, and the
+    hinge D trajectories must track each other.
+
+    96x96 inputs: the reference generator's dilation-16 bottleneck convs
+    reflect-pad by 16, which needs a bottleneck >16px, i.e. inputs >64
+    (``InpaintingNetwork.py`` dilated stack)."""
+    _import_reference_trainer()
+    sys.modules["skimage"].img_as_ubyte = lambda x: x  # SNPatchGAN.py import-time
+
+    import jax
+
+    from src.models.networks.InpaintingNetwork import (  # noqa: E402
+        GatedGenerator as RefG, PatchDiscriminator as RefD)
+    from src.models.optim.SNPatchGAN import SNPatchGAN as RefGAN  # noqa: E402
+
+    from ich_tpu.models import GatedGenerator, PatchDiscriminator
+    from ich_tpu.ops.masks import random_ff_masks
+    from ich_tpu.train.gan import SNPatchGAN as IchGAN
+
+    size = 96
+    mask_kw = dict(n_draw=(1, 3), vertex=(2, 5), brush_width=(6, 12), length=(8, 20))
+    data = synthetic_ich_slices(n_slices=64, size=size, n_volumes=8, seed=3,
+                                positive_frac=0.0)
+    images = np.asarray(data.images, np.float32)
+    pool = np.asarray(random_ff_masks(jax.random.PRNGKey(42), 256, (size, size),
+                                      **mask_kw))
+
+    hp = dict(n_epoch=6, batch_size=8, lr_g=1e-3, lr_d=1e-3, gammaL1=0.99,
+              lambda_L1=0.5, lambda_gan=0.5, weight_decay=1e-6)
+
+    torch.manual_seed(0)
+    tg = RefG(in_channels=2, out_channels=1, lat_channels=4,
+              context_attention=False, return_coarse=True)
+    td = RefD(in_channels=2, out_channels=[8, 16], kernel_size=3, stride=2,
+              self_attention=False, sn=True)
+    ref_tr = RefGAN(tg, td, lr_scheduler_kwargs=dict(gamma=0.95), device="cpu", **hp)
+    ref_tr.train(_ImageMaskAdapter(images, pool),
+                 valid_dataset=_FixedPairAdapter(images[:8], pool[:8]),
+                 checkpoint_path=str(tmp_path / "no.pt"))
+    rows = ref_tr.outputs["train"]["evolution"]["data"]  # [ep, L1, ganG, G, D, vl1]
+    ref_l1 = [r[1] for r in rows]
+    ref_d = [r[4] for r in rows]
+
+    ich_tr = IchGAN(
+        GatedGenerator(lat_channels=4, context_attention=False, return_coarse=True),
+        PatchDiscriminator(out_channels=(8, 16), kernel_size=3, stride=2,
+                           self_attention=False),
+        mask_kwargs=mask_kw, seed=0, lr_scheduler_kwargs={"gamma": 0.95}, **hp)
+    ich_tr.train(data)
+    hist = ich_tr.outputs["train"]["evolution"]  # [ep, G, D, L1]
+    ich_l1 = [float(r[3]) for r in hist]
+    ich_d = [float(r[2]) for r in hist]
+
+    # inpainting L1 improves in both, finals in the same band
+    # (measured: ref 0.0149 -> 0.0088, ich 0.0171 -> 0.0134)
+    assert ref_l1[-1] < 0.9 * ref_l1[0], ref_l1
+    assert ich_l1[-1] < 0.9 * ich_l1[0], ich_l1
+    assert ich_l1[-1] < 2.5 * ref_l1[-1] and ref_l1[-1] < 2.5 * ich_l1[-1], \
+        (ich_l1[-1], ref_l1[-1])
+    # hinge D trajectories track each other (measured |diff| ~ 0.006)
+    assert all(1.5 < d < 2.5 for d in ref_d + ich_d), (ref_d, ich_d)
+    assert abs(ref_d[-1] - ich_d[-1]) < 0.3, (ref_d[-1], ich_d[-1])
