@@ -1,0 +1,90 @@
+"""TPU perf gate for the pallas implicit-GEMM conv (ich_tpu.ops.pallas_conv).
+
+Run on the real chip (JAX_PLATFORMS=axon, the image default):
+
+    python benchmarks/pallas_conv_gate.py [--reps 10]
+
+Stage 1: standalone micro-gate at the flagship 64-cube C=16 shape —
+correctness vs the XLA direct conv, then timing for both (N dispatches,
+one scalar fetch: the axon tunnel has no block_until_ready, see CLAUDE.md).
+If the kernel wins >= 1.25x, enable it in-net via
+``fastconv.set_packing("pallas")`` around the eval apply and re-bench
+sliding-window inference (stage 2 lives in bench.py / BENCHMARKS.md).
+
+Decision record: docs/BENCHMARKS.md "lane-bound levels" section.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+TPU_PEAK_TFS = 197.0  # bf16 peak of the target chip
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    plat = jax.devices()[0].platform
+    if plat not in ("tpu", "axon"):
+        raise SystemExit(f"TPU gate must run on the chip (got platform={plat!r})")
+
+    from ich_tpu.ops import pallas_conv
+
+    b, d, h, w, c = args.batch, 64, 64, 64, 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(b, d, h, w, c)), jnp.bfloat16)
+    wt = jnp.asarray(rng.uniform(-0.2, 0.2, size=(3, 3, 3, c, c)), jnp.bfloat16)
+    assert pallas_conv.qualifies(x.shape, wt.shape)
+
+    @jax.jit
+    def conv_xla(xi, wi):
+        return jax.lax.conv_general_dilated(
+            xi, wi, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    conv_pk = jax.jit(pallas_conv.conv3d_same16)
+
+    # correctness (forces the first compile + tunnel warmup too)
+    got = conv_pk(x, wt)
+    ref = conv_xla(x, wt)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+    print(f"max err vs XLA bf16: {err:.4f} (ref max {scale:.2f})", flush=True)
+
+    macs = b * d * h * w * 27 * c * c
+
+    def timeit(name, fn):
+        out = fn(x, wt)
+        _ = float(out.reshape(-1)[0])  # sync
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = fn(x, wt)
+        _ = float(out.reshape(-1)[0])  # executions are in-order; one fetch
+        dt = (time.perf_counter() - t0) / args.reps
+        tfs = 2 * macs / dt / 1e12
+        print(f"{name:16s} {dt * 1e3:8.2f} ms  {tfs:6.1f} TF/s "
+              f"({100 * tfs / TPU_PEAK_TFS:.1f}% peak)", flush=True)
+        return dt
+
+    t_pk = timeit("pallas", conv_pk)
+    t_xla = timeit("xla direct", conv_xla)
+    print(json.dumps({
+        "metric": "pallas_conv_speedup_vs_xla",
+        "value": round(t_xla / t_pk, 3),
+        "unit": "x",
+        "pallas_ms": round(t_pk * 1e3, 2),
+        "xla_ms": round(t_xla * 1e3, 2),
+        "max_abs_err": err,
+    }))
+
+
+if __name__ == "__main__":
+    main()
