@@ -515,6 +515,102 @@ def test_contrastive_training_dynamics_parity(tmp_path):
         (ich_l[-1], ref_l[-1])
 
 
+class _AlignedTwoViewAdapter(torch.utils.data.Dataset):
+    """Local-contrastive views ((view1, view2, idx)): crop-resize
+    (0.7, 1.0) ONLY, matching the reference's local config
+    (``LocalContrastive_config.json`` crop_scales [0.7, 1.0]) — local
+    region correspondence needs roughly aligned views, so no flips."""
+
+    def __init__(self, images, seed=0):
+        self.images = np.asarray(images, np.float32)
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.images)
+
+    def _view(self, im):
+        h0, w0 = im.shape
+        s = self.rng.uniform(0.7, 1.0)
+        h = max(1, int(round(h0 * np.sqrt(s))))
+        w = max(1, int(round(w0 * np.sqrt(s))))
+        i = int(self.rng.integers(0, h0 - h + 1))
+        j = int(self.rng.integers(0, w0 - w + 1))
+        t = torch.from_numpy(im[i:i + h, j:j + w].copy())[None, None]
+        v = torch.nn.functional.interpolate(
+            t, size=(h0, w0), mode="bilinear", align_corners=False)[0, 0].numpy()
+        return v.astype(np.float32)
+
+    def __getitem__(self, i):
+        im = self.images[i]
+        return (torch.from_numpy(self._view(im)[None]),
+                torch.from_numpy(self._view(im)[None]), i)
+
+
+@needs_ref
+def test_local_contrastive_training_dynamics_parity(tmp_path):
+    """Reference local Contrastive (torch CPU, Partial_UNet + region
+    NT-Xent — ``Contrastive.py:87-178``, ``LossFunctions.py:232-341``) vs
+    ich_tpu.train.Contrastive(is_global=False) from identical ported init
+    weights on matched crop-only views: both must converge the region
+    InfoNCE into the same band. (NB the reference loss samples regions
+    from its NCHW maps as if they were NHWC — a layout defect; ours uses
+    the intended NHWC semantics. Both remain NT-Xent over 2R region
+    vectors with the same chance level, so trajectory bands stay
+    comparable.)"""
+    _import_reference_trainer()
+    import torch.optim as toptim
+
+    from src.models.networks.UNet import Partial_UNet as RefPartial  # noqa: E402
+    from src.models.optim.Contrastive import Contrastive as RefContrastive  # noqa: E402
+    from src.models.optim.LossFunctions import LocalInfoNCELoss  # noqa: E402
+
+    import ich_tpu.ops.transforms as T
+    from ich_tpu.data.core import LabeledSliceDataset
+    from ich_tpu.interop import torch_port
+    from ich_tpu.models import PartialUNet
+    from ich_tpu.train.ssl import Contrastive as IchContrastive
+
+    n = 64
+    data = synthetic_ich_slices(n_slices=n, size=32, n_volumes=8, seed=11,
+                                positive_frac=0.5)
+    images = np.asarray(data.images, np.float32)
+
+    n_region, k_region, tau = 8, 3, 0.5
+    netkw = dict(depth=3, n_decoder=1, top_filter=8, bilinear=False, p_dropout=0.0)
+    hp = dict(n_epoch=20, batch_size=8, lr=1e-3, weight_decay=1e-6)
+
+    torch.manual_seed(0)
+    tnet = RefPartial(in_channels=1, use_3D=False, head_channel=[16, 8], **netkw)
+    init_sd = {k: v.detach().cpu().numpy().copy()
+               for k, v in tnet.state_dict().items()}
+    ref_tr = RefContrastive(
+        tnet, lr_scheduler=toptim.lr_scheduler.ExponentialLR,
+        lr_scheduler_kwargs=dict(gamma=0.95), loss_fn=LocalInfoNCELoss,
+        loss_fn_kwargs=dict(tau=tau, K=k_region, n_region=n_region, device="cpu"),
+        device="cpu", is_global=False, **hp)
+    ref_tr.train(_AlignedTwoViewAdapter(images), checkpoint_path=str(tmp_path / "no.pt"))
+
+    ich_tr = IchContrastive(
+        PartialUNet(head_channel=(16, 8), **netkw),
+        is_global=False, tau=tau, n_region=n_region, K=k_region,
+        aug_pipeline=T.Compose(T.RandomCropResize((0.7, 1.0), (1.0, 1.0))),
+        seed=0, lr_scheduler_kwargs={"gamma": 0.95}, **hp)
+    ich_tr.transfer_weights(torch_port.port_partial_unet(init_sd))
+    ich_tr.train(LabeledSliceDataset(images=images, labels=np.zeros(n, np.int64)))
+
+    ref_l = [r[1] for r in ref_tr.outputs["train"]["evolution"]]
+    ich_l = [float(r[1]) for r in ich_tr.outputs["train"]["evolution"]]
+    chance = np.log(2 * n_region - 1)
+
+    # regions of one image correlate, so both start below chance and converge
+    # (measured: ref 1.76 -> 0.93, ich 2.18 -> 1.04)
+    assert ref_l[0] < chance and ich_l[0] < chance, (ref_l[0], ich_l[0], chance)
+    assert ref_l[-1] < 0.7 * ref_l[0], ref_l
+    assert ich_l[-1] < 0.7 * ich_l[0], ich_l
+    assert ich_l[-1] < 1.5 * ref_l[-1] and ref_l[-1] < 1.5 * ich_l[-1], \
+        (ich_l[-1], ref_l[-1])
+
+
 class _ImageMaskAdapter(torch.utils.data.Dataset):
     """Feeds the reference SNPatchGAN trainer ((image, mask) —
     ``SNPatchGAN.py:150-152``) with inpainting masks sampled from a pool
