@@ -42,3 +42,17 @@ def test_report_handles_partial_fractions(tmp_path, capsys):
     B.report(res, str(tmp_path))
     out = capsys.readouterr().out
     assert "25%" in out and "10%" not in out
+
+
+def test_pallas_gate_drivers_import_and_refuse_cpu(monkeypatch):
+    """The two TPU gate drivers must import cleanly (API-drift canary for
+    the queued hardware run) and refuse to bench on a non-TPU platform."""
+    import pytest
+
+    import pallas_conv_gate
+    import pallas_in_net_ab
+
+    for mod in (pallas_conv_gate, pallas_in_net_ab):
+        monkeypatch.setattr(sys, "argv", [mod.__name__])
+        with pytest.raises(SystemExit, match="platform"):
+            mod.main()
