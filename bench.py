@@ -184,9 +184,34 @@ def main():
     )
 
 
+def _arm_watchdog(seconds: float):
+    """The axon tunnel can die outright (backend init then blocks forever —
+    docs/ROUND4_NOTES.md): make sure the driver still gets its ONE JSON
+    line instead of an indefinite hang."""
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "ct_volumes_per_sec_per_chip_sliding_window",
+            "value": 0.0,
+            "unit": f"volumes/s (BENCH WATCHDOG: no result within "
+                    f"{int(seconds / 60)} min — TPU tunnel likely down)",
+            "vs_baseline": None,
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 if __name__ == "__main__":
     import os
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    wd = _arm_watchdog(45 * 60)
     main()
+    wd.cancel()
