@@ -242,19 +242,46 @@ def test_robust_anomaly_detect():
 # ---------------- reference parity (torch CPU, skimage stubbed) ----------------
 
 def _import_reference_ad():
-    """Import the reference's InpaintAnomalyDetector with unavailable
-    heavy deps (skimage) stubbed — the pieces under test (grid masks, error
-    sampling, KL) never call them."""
+    """Import the reference's InpaintAnomalyDetector with skimage stubbed by
+    FUNCTIONAL scipy.ndimage equivalents — the end-to-end detect() test runs
+    the reference's own pipeline, so the morphology/hysteresis stubs must be
+    real implementations, not empty modules."""
     import sys
     import types
+
+    import scipy.ndimage as ndi
 
     from tests.conftest import REFERENCE_ROOT, reference_available
 
     if not reference_available():
         return None
-    for name in ("skimage", "skimage.morphology", "skimage.filters", "skimage.io"):
+    for name in ("skimage", "skimage.morphology", "skimage.filters",
+                 "skimage.io", "skimage.exposure"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
+    sk = sys.modules["skimage"]
+    sk.morphology = sys.modules["skimage.morphology"]
+    sk.filters = sys.modules["skimage.filters"]
+    sk.io = sys.modules["skimage.io"]
+    sk.exposure = sys.modules["skimage.exposure"]
+
+    def disk(r):
+        r = int(r)
+        y, x = np.ogrid[-r:r + 1, -r:r + 1]
+        return x * x + y * y <= r * r
+
+    def hysteresis(im, low, high):
+        im = np.asarray(im)
+        low_mask = im > low
+        lab, _ = ndi.label(low_mask)
+        keep = np.unique(lab[(im > high) & low_mask])
+        return np.isin(lab, keep[keep > 0])
+
+    sk.morphology.disk = disk
+    sk.morphology.binary_dilation = lambda m, selem=None: ndi.binary_dilation(m, structure=selem)
+    sk.morphology.binary_closing = lambda m, selem=None: ndi.binary_closing(m, structure=selem)
+    sk.morphology.binary_opening = lambda m, selem=None: ndi.binary_opening(m, structure=selem)
+    sk.filters.apply_hysteresis_threshold = hysteresis
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import src.models.optim.InpaintAnomalyDetector as ref_ad
@@ -376,3 +403,65 @@ def test_make_grid_masks_non_multiple_shapes():
         assert m.shape[1:] == shape
         cov = m.sum(axis=0)
         assert cov.min() == cov.max() > 0
+
+
+@pytest.mark.slow
+def test_detect_end_to_end_matches_reference():
+    """End-to-end weight-shared detect() parity: the reference's full
+    pipeline (grid inpainting -> KL distance -> hysteresis -> dilation ->
+    anomaly re-inpaint -> iterative cleanup, ``InpaintAnomalyDetector.py:
+    95-228``) on its own torch GatedGenerator vs ich_tpu's detector on the
+    SAME ported weights — the final anomaly masks must agree pixelwise.
+    96x96: the generator's dilation-16 reflect pad needs a bottleneck
+    >16px. ``shuffle_AD_mask_loader=False`` + KL mode keep both pipelines
+    deterministic."""
+    ref_ad = _import_reference_ad()
+    if ref_ad is None:
+        pytest.skip("no reference checkout")
+    torch = pytest.importorskip("torch")
+
+    from src.models.networks.InpaintingNetwork import GatedGenerator as RefG  # noqa: E402
+
+    from ich_tpu.interop import torch_port
+
+    size = 96
+    rng = np.random.default_rng(0)
+    clean = rng.uniform(0.2, 0.4, size=(size, size)).astype(np.float32)
+    image = clean.copy()
+    image[40:56, 36:52] = 0.95  # bright blob anomaly
+
+    torch.manual_seed(0)
+    tg = RefG(in_channels=2, out_channels=1, lat_channels=4,
+              context_attention=False, return_coarse=False).eval()
+    sd = {k: v.detach().cpu().numpy().copy() for k, v in tg.state_dict().items()}
+
+    kw = dict(grid_hole=(16, 16), grid_step=8, inpainting_dilation_radius=(3, 3),
+              cleaning_closing_radius=1, cleaning_opening_radius=1, n_iter=1,
+              alpha01=0.0, alpha02=1.0, alpha1=1.0, alpha2=1.5,
+              use_wasserstein=False, grid_anomaly_inpaint=((size, size), (size, size)),
+              shuffle_AD_mask_loader=False, early_stop=False, batch_size=4)
+
+    ref_det = ref_ad.InpaintAnomalyDetector(tg, device="cpu", **kw)
+    ref_mask = np.asarray(ref_det.detect(torch.from_numpy(image[None])))
+
+    g = GatedGenerator(lat_channels=4, context_attention=False, return_coarse=False)
+    v = torch_port.port_gated_generator(sd, context_attention=False)
+
+    @jax.jit
+    def _inpaint(ims, ms):
+        fine = g.apply(v, ims, ms, train=False)
+        return ims * (1 - ms) + fine * ms
+
+    ich_det = InpaintAnomalyDetector(
+        lambda ims, ms: np.asarray(_inpaint(jnp.asarray(ims), jnp.asarray(ms))),
+        **kw)
+    ich_mask = np.asarray(ich_det.detect(image))
+
+    # both find the planted blob...
+    assert ref_mask[40:56, 36:52].mean() > 0.9, ref_mask.sum()
+    assert ich_mask[40:56, 36:52].mean() > 0.9, ich_mask.sum()
+    # ...and the full masks agree (measured: 99.6% agreement, IoU 0.873)
+    assert (ref_mask == ich_mask).mean() > 0.97, (ref_mask.sum(), ich_mask.sum())
+    union = np.logical_or(ref_mask, ich_mask).sum()
+    iou = np.logical_and(ref_mask, ich_mask).sum() / union
+    assert iou > 0.7, iou
