@@ -282,6 +282,7 @@ def _import_reference_ad():
     sk.morphology.binary_closing = lambda m, selem=None: ndi.binary_closing(m, structure=selem)
     sk.morphology.binary_opening = lambda m, selem=None: ndi.binary_opening(m, structure=selem)
     sk.filters.apply_hysteresis_threshold = hysteresis
+    sk.img_as_float = lambda m: np.asarray(m, np.float64)
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import src.models.optim.InpaintAnomalyDetector as ref_ad
@@ -465,3 +466,61 @@ def test_detect_end_to_end_matches_reference():
     union = np.logical_or(ref_mask, ich_mask).sum()
     iou = np.logical_and(ref_mask, ich_mask).sum() / union
     assert iou > 0.7, iou
+
+
+@pytest.mark.slow
+def test_robust_detect_end_to_end_matches_reference():
+    """Weight-shared robust_anomaly_detect parity: the reference's
+    rotation/flip ensembling + fraction-hysteresis merge
+    (``InpaintAnomalyDetector.py:404-484``) vs ich_tpu's on the same
+    ported generator — merged masks must agree pixelwise."""
+    ref_ad = _import_reference_ad()
+    if ref_ad is None:
+        pytest.skip("no reference checkout")
+    torch = pytest.importorskip("torch")
+
+    from src.models.networks.InpaintingNetwork import GatedGenerator as RefG  # noqa: E402
+
+    from ich_tpu.interop import torch_port
+
+    size = 96
+    rng = np.random.default_rng(0)
+    clean = rng.uniform(0.2, 0.4, size=(size, size)).astype(np.float32)
+    image = clean.copy()
+    image[40:56, 36:52] = 0.95
+
+    torch.manual_seed(0)
+    tg = RefG(in_channels=2, out_channels=1, lat_channels=4,
+              context_attention=False, return_coarse=False).eval()
+    sd = {k: v.detach().cpu().numpy().copy() for k, v in tg.state_dict().items()}
+
+    kw = dict(grid_hole=(16, 16), grid_step=8, inpainting_dilation_radius=(3, 3),
+              cleaning_closing_radius=1, cleaning_opening_radius=1, n_iter=1,
+              alpha01=0.0, alpha02=1.0, alpha1=1.0, alpha2=1.5,
+              use_wasserstein=False, grid_anomaly_inpaint=((size, size), (size, size)),
+              shuffle_AD_mask_loader=False, early_stop=False, batch_size=4)
+
+    ref_det = ref_ad.InpaintAnomalyDetector(tg, device="cpu", **kw)
+    ref_final, ref_map = ref_ad.robust_anomaly_detect(
+        torch.from_numpy(image[None]), ref_det, angles_list=[7.5], flip=True)
+
+    g = GatedGenerator(lat_channels=4, context_attention=False, return_coarse=False)
+    v = torch_port.port_gated_generator(sd, context_attention=False)
+
+    @jax.jit
+    def _inpaint(ims, ms):
+        fine = g.apply(v, ims, ms, train=False)
+        return ims * (1 - ms) + fine * ms
+
+    ich_det = InpaintAnomalyDetector(
+        lambda ims, ms: np.asarray(_inpaint(jnp.asarray(ims), jnp.asarray(ms))),
+        **kw)
+    ich_final, ich_map = robust_anomaly_detect(image, ich_det,
+                                               angles_list=[7.5], flip=True)
+    ref_final, ich_final = np.asarray(ref_final), np.asarray(ich_final)
+
+    assert ref_final[40:56, 36:52].mean() > 0.9, ref_final.sum()
+    assert ich_final[40:56, 36:52].mean() > 0.9, ich_final.sum()
+    assert (ref_final == ich_final).mean() > 0.97, (ref_final.sum(), ich_final.sum())
+    # ensemble maps close everywhere (each entry is a detection frequency)
+    assert float(np.abs(np.asarray(ref_map) - np.asarray(ich_map)).mean()) < 0.02
