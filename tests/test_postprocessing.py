@@ -156,3 +156,176 @@ def test_plot_helpers(tmp_path):
     gif = str(tmp_path / "p.gif")
     plots.pred2gif([np.zeros((8, 8))] * 3, [np.ones((8, 8))] * 3, gif)
     assert os.path.getsize(gif) > 100
+
+
+# ---------------- reference head-to-head (torch-free: pure host code) ----------
+
+
+def _import_reference_postproc():
+    """Import the reference's update_pred with FUNCTIONAL stubs for its
+    absent deps (skimage io/transform/img_as_*, imageio, nibabel): the
+    head-to-head test runs the reference's own pipeline on disk."""
+    import sys
+    import types
+
+    from PIL import Image
+
+    from tests.conftest import REFERENCE_ROOT, reference_available
+
+    if not reference_available():
+        return None
+    for name in ("skimage", "skimage.io", "skimage.transform", "skimage.filters",
+                 "skimage.morphology", "skimage.exposure", "imageio", "nibabel"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sk = sys.modules["skimage"]
+    sk.io = sys.modules["skimage.io"]
+    sk.transform = sys.modules["skimage.transform"]
+    sk.io.imread = lambda fn: np.asarray(Image.open(fn))
+    sk.io.imsave = lambda fn, arr, check_contrast=False: Image.fromarray(arr).save(fn)
+
+    def resize(arr, shape, order=0, preserve_range=False):
+        arr = np.asarray(arr)
+        if arr.shape == tuple(shape):
+            return arr
+        iy = (np.arange(shape[0]) * arr.shape[0] / shape[0]).astype(int)
+        jx = (np.arange(shape[1]) * arr.shape[1] / shape[1]).astype(int)
+        return arr[np.ix_(iy, jx)]
+
+    sk.transform.resize = resize
+
+    def img_as_bool(arr):
+        arr = np.asarray(arr)
+        if arr.dtype == bool:
+            return arr
+        mid = 127.5 if np.issubdtype(arr.dtype, np.integer) else 0.5
+        return arr > mid
+
+    sk.img_as_bool = img_as_bool
+    sk.img_as_ubyte = lambda arr: (np.asarray(arr, bool).astype(np.uint8) * 255
+                                   if np.asarray(arr).dtype == bool
+                                   else np.asarray(arr, np.uint8))
+
+    # functional nibabel.load backed by ich_tpu's own NIfTI reader — the
+    # reference's brain_as_nifti=False branch is broken (UnboundLocalError
+    # on brain_vol, update_pred.py:61), so the nifti path is the only one
+    from ich_tpu.data import nifti as ich_nifti
+
+    class _Nifti:
+        def __init__(self, fn):
+            self._data = np.asarray(ich_nifti.load(fn)[0])
+
+        def get_fdata(self):
+            return self._data.astype(np.float64)
+
+    sys.modules["nibabel"].load = _Nifti
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import src.postprocessing.update_pred as ref_up
+
+    return ref_up
+
+
+def test_update_pred_folder_matches_reference(tmp_path):
+    """Head-to-head on identical on-disk artifacts: the reference's
+    update_pred_folder (``update_pred.py:27-112``) vs ich_tpu's on the same
+    predictions/brain-masks/targets — per-slice confusion counts, volume
+    Dice, rewritten bitmaps, and the updated outputs.json must all agree."""
+    ref_up = _import_reference_postproc()
+    if ref_up is None:
+        pytest.skip("no reference checkout")
+    import json
+
+    import pandas as pd
+    from PIL import Image
+
+    from ich_tpu.data.core import SliceDataset2D
+
+    rng = np.random.default_rng(3)
+    size, n_vol, per_vol = 32, 2, 6
+    d = synthetic_ich_slices(n_vol * per_vol, size, n_vol, seed=7)
+    # 1-based per-volume slice numbering (the reference's folder layout)
+    slice_nbrs = np.concatenate([np.arange(1, per_vol + 1)] * n_vol)
+    vol_ids = np.asarray(d.vol_ids) + 1  # reference 0-pads ids from 1
+    masks = (np.asarray(d.masks) > 0).astype(np.uint8)
+    # imperfect predictions: target shifted 1px + salt noise
+    preds = np.roll(masks, 1, axis=2)
+    preds |= (rng.random(preds.shape) < 0.01)
+    # circular brain mask, identical for every slice
+    yy, xx = np.mgrid[:size, :size]
+    brain = ((yy - size / 2) ** 2 + (xx - size / 2) ** 2 < (size * 0.45) ** 2)
+    brains = np.broadcast_to(brain, masks.shape).astype(np.uint8)
+
+    # ---- reference on-disk layout (brain masks as NIfTI: the reference's
+    # bmp-folder branch is broken — UnboundLocalError, update_pred.py:61)
+    from ich_tpu.data import nifti as ich_nifti
+
+    data_path = tmp_path / "data"
+    pred_dir = tmp_path / "ref" / "Fold_1" / "pred"
+    new_dir = tmp_path / "ref" / "Fold_1_new" / "pred"
+    brain_dir = tmp_path / "brain"
+    data_path.mkdir()
+    brain_dir.mkdir()
+    rows = []
+    for i in range(len(masks)):
+        vid, snb = int(vol_ids[i]), int(slice_nbrs[i])
+        (pred_dir / f"{vid}").mkdir(parents=True, exist_ok=True)
+        Image.fromarray(preds[i] * 255).save(pred_dir / f"{vid}" / f"{snb}.bmp")
+        # a mask file for EVERY slice (zeros when negative): the literal
+        # "None" the reference writes is in pandas' default NaN list, so a
+        # read-back ct_info.csv turns it into float NaN and the reference's
+        # `target_fn != 'None'` branch crashes on join — avoid that path
+        mask_fn = f"m_{vid}_{snb}.bmp"
+        Image.fromarray(masks[i] * 255).save(data_path / mask_fn)
+        rows.append(dict(PatientNumber=vid, SliceNumber=snb,
+                         Hemorrhage=int(masks[i].any()), mask_fn=mask_fn))
+    for vid in np.unique(vol_ids):
+        sel = vol_ids == vid  # (H, W, D) stack, slice order = slice_nbrs
+        order = np.argsort(slice_nbrs[sel])
+        vol = np.stack([brains[i] for i in np.nonzero(sel)[0][order]], axis=-1)
+        ich_nifti.save(str(brain_dir / f"{int(vid):03}.nii"), vol.astype(np.uint8))
+    pd.DataFrame(rows).to_csv(data_path / "ct_info.csv")
+    (tmp_path / "ref" / "outputs.json").write_text(json.dumps({"eval": {}}))
+
+    ref_up.update_pred_folder(str(pred_dir), str(new_dir), str(brain_dir),
+                              brain_as_nifti=True, data_path=str(data_path),
+                              rot=False)
+    ref_slice = pd.read_csv(new_dir / "slice_prediction_scores.csv", index_col=0)
+    ref_vol = pd.read_csv(new_dir / "volume_prediction_scores.csv", index_col=0)
+    ref_out = json.loads((tmp_path / "ref" / "Fold_1_new" / "outputs.json").read_text())
+
+    # ---- ich_tpu layout (same artifacts, in-place update)
+    fold = tmp_path / "ours" / "Fold_1"
+    for i in range(len(masks)):
+        vid, snb = int(vol_ids[i]), int(slice_nbrs[i])
+        (fold / "pred" / f"{vid}").mkdir(parents=True, exist_ok=True)
+        Image.fromarray(preds[i] * 255).save(fold / "pred" / f"{vid}" / f"{snb}.bmp")
+    (fold / "outputs.json").write_text(json.dumps({"eval": {}}))
+    ds = SliceDataset2D(images=d.images, masks=masks, vol_ids=vol_ids,
+                        slice_nbrs=slice_nbrs)
+    ours_out = update_pred_folder(str(fold), ds, brains)
+    ours_slice = pd.read_csv(fold / "pred" / "slice_prediction_scores.csv", index_col=0)
+    ours_vol = pd.read_csv(fold / "pred" / "volume_prediction_scores.csv", index_col=0)
+
+    # per-slice confusion counts identical
+    key = ["volID", "slice"]
+    r = ref_slice.sort_values(key).reset_index(drop=True)
+    o = ours_slice.sort_values(key).reset_index(drop=True)
+    for col in ("label", "TP", "TN", "FP", "FN"):
+        np.testing.assert_array_equal(r[col].to_numpy().astype(float),
+                                      o[col].to_numpy().astype(float), err_msg=col)
+    np.testing.assert_allclose(r["Dice"], o["Dice"], rtol=1e-12)
+    # volume Dice identical
+    np.testing.assert_allclose(
+        ref_vol.sort_index()["Dice"], ours_vol.sort_index()["Dice"], rtol=1e-12)
+    # updated outputs.json identical
+    assert ref_out["eval"]["dice"]["all"] == pytest.approx(
+        ours_out["eval"]["dice"]["all"], rel=1e-12)
+    assert ref_out["eval"]["dice"]["positive"] == pytest.approx(
+        ours_out["eval"]["dice"]["positive"], rel=1e-12)
+    # rewritten bitmaps identical
+    for i in range(len(masks)):
+        vid, snb = int(vol_ids[i]), int(slice_nbrs[i])
+        a = np.asarray(Image.open(new_dir / f"{vid}" / f"{snb}.bmp"))
+        b = np.asarray(Image.open(fold / "pred" / f"{vid}" / f"{snb}.bmp"))
+        np.testing.assert_array_equal(a > 0, b > 0)
