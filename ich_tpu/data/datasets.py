@@ -83,7 +83,7 @@ def load_segich_3d(
     import jax.numpy as jnp
 
     from ich_tpu.data import nifti
-    from ich_tpu.ops.ct import resample_ct, _resampled_shape, resize_nearest
+    from ich_tpu.ops.ct import resample_ct, _resampled_shape, resize_nearest_zoom
 
     vols, masks, ids = [], [], []
     for pid in patient_numbers:
@@ -97,7 +97,9 @@ def load_segich_3d(
             resample_ct(jnp.asarray(vol), spacing, out_spacing, preserve_range=True, order=1)
         )
         shape = _resampled_shape(msk.shape, spacing, out_spacing)
-        msk = np.asarray(resize_nearest(jnp.asarray((msk > 0).astype(np.float32)), shape))
+        # scipy-zoom grid convention, matching the reference's
+        # resample_ct(mask, ..., order=0) (datasets.py:243, ct_utils.py:63)
+        msk = np.asarray(resize_nearest_zoom(jnp.asarray((msk > 0).astype(np.float32)), shape))
         # (H, W, Z) -> (Z, H, W) for the 3D trainers
         vols.append(np.transpose(vol, (2, 0, 1)))
         masks.append(np.transpose(msk, (2, 0, 1)))

@@ -70,7 +70,7 @@ def resample_ct(
     """
     new_shape = _resampled_shape(ct_scan.shape, in_pixel_dim, out_pixel_dim)
     if order == 0:
-        out = resize_nearest(ct_scan, new_shape)
+        out = resize_nearest_zoom(ct_scan, new_shape)
     else:
         out = jax.image.resize(ct_scan, new_shape, method="linear")
     if preserve_range:
@@ -84,17 +84,49 @@ def resample_ct(
 def resize_nearest(x: jax.Array, shape: Sequence[int]) -> jax.Array:
     """Nearest-neighbor resize via integer gathers on each axis.
 
-    Uses the same index rule as ``scipy.ndimage.zoom(order=0)`` /
-    ``skimage.transform.resize(order=0)``: output index i samples input
-    index ``floor((i + 0.5) * in/out)`` — exact for binary masks, so mask
-    resizes round-trip identically to the reference
-    (``code/src/dataset/transforms.py:117-156`` order-0 branch).
+    Uses the same index rule as ``skimage.transform.resize(order=0)``:
+    output index i samples input index ``floor((i + 0.5) * in/out)`` —
+    exact for binary masks, so mask resizes round-trip identically to the
+    reference's skimage-based transforms
+    (``code/src/dataset/transforms.py:117-156`` order-0 branch). NB this
+    is NOT scipy.ndimage.zoom's grid convention — see
+    :func:`resize_nearest_zoom` for that one.
     """
     out = x
     for axis, (n_out, n_in) in enumerate(zip(shape, x.shape)):
         if n_out == n_in:
             continue
         idx = jnp.floor((jnp.arange(n_out) + 0.5) * (n_in / n_out)).astype(jnp.int32)
+        idx = jnp.clip(idx, 0, n_in - 1)
+        out = jnp.take(out, idx, axis=axis)
+    return out
+
+
+def resize_nearest_zoom(x: jax.Array, shape: Sequence[int]) -> jax.Array:
+    """Nearest-neighbor resize with ``scipy.ndimage.zoom(order=0)``'s grid
+    convention: output index i samples input index
+    ``floor(i * (in-1)/(out-1) + 0.5)`` (endpoint-aligned, round-half-up —
+    the order-0 spline's rounding, NOT numpy's banker's rounding). This is
+    what the reference's ``resample_ct`` does (``ct_utils.py:38-68``,
+    ``scipy.ndimage.zoom``), and what its 3D dataset uses for masks
+    (``datasets.py:243``, ``order=0``).
+
+    One deliberate deviation: scipy evaluates the endpoint coordinate
+    ``(out-1) * (in-1)/(out-1)`` in floating point, and for some shape
+    pairs (e.g. 48->24) it lands at ``47.000000000000007`` — OUTSIDE the
+    domain — so ``mode='constant'`` silently zeroes the final index of the
+    axis. We clamp to the endpoint instead (the intended sample); tests
+    exclude that last index when comparing head-to-head."""
+    out = x
+    for axis, (n_out, n_in) in enumerate(zip(shape, x.shape)):
+        if n_out == n_in:
+            continue
+        if n_out == 1:
+            idx = jnp.zeros((1,), jnp.int32)
+        else:
+            idx = jnp.floor(
+                jnp.arange(n_out) * ((n_in - 1) / (n_out - 1)) + 0.5
+            ).astype(jnp.int32)
         idx = jnp.clip(idx, 0, n_in - 1)
         out = jnp.take(out, idx, axis=axis)
     return out

@@ -59,3 +59,67 @@ def test_resize_linear_constant_preserved():
     x = jnp.full((8, 8), 3.5)
     y = ct.resize(x, (17, 13), order=1)
     np.testing.assert_allclose(np.asarray(y), 3.5, atol=1e-6)
+
+
+def _import_reference_ct_utils():
+    """The reference's ct_utils is pure numpy+scipy — import it directly."""
+    import os
+    import sys
+
+    from tests.conftest import REFERENCE_ROOT, reference_available
+
+    if not reference_available():
+        return None
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import src.utils.ct_utils as ref_ct
+
+    return ref_ct
+
+
+def test_window_ct_matches_reference_module():
+    """Head-to-head vs the reference's OWN window_ct (ct_utils.py:13-36)."""
+    ref_ct = _import_reference_ct_utils()
+    if ref_ct is None:
+        import pytest
+
+        pytest.skip("no reference checkout")
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1000, 2000, size=(3, 24, 24)).astype(np.float32)
+    for center, width, out in [(40, 120, (0, 1)), (50, 200, (0, 1)), (600, 2800, (-1, 1))]:
+        got = np.asarray(ct.window_ct(jnp.asarray(x), center, width, out))
+        want = ref_ct.window_ct(x.copy(), center, width, out)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_resample_ct_order0_matches_reference_module():
+    """Head-to-head vs the reference's OWN resample_ct (ct_utils.py:38-68)
+    at order 0 (the branch our nearest gather reproduces exactly), incl.
+    the -1 keep-spacing rule and the preserve_range rescale."""
+    ref_ct = _import_reference_ct_utils()
+    if ref_ct is None:
+        import pytest
+
+        pytest.skip("no reference checkout")
+    rng = np.random.default_rng(2)
+    vol = rng.uniform(-100, 300, size=(20, 24, 10)).astype(np.float32)
+    # preserve_range=True can't go head-to-head: the reference calls the
+    # ndarray .ptp() METHOD (ct_utils.py:66), removed in numpy 2.0 — its
+    # rescale formula is asserted by test_resample_preserve_range instead
+    for in_dim, out_dim in [
+        ((0.5, 0.5, 5.0), (1.0, 1.0, 2.5)),
+        ((0.4, 0.4, 4.0), (-1, -1, 2.0)),
+        ((0.7, 0.7, 3.0), (1.0, 1.0, 2.0)),
+    ]:
+        got = np.asarray(ct.resample_ct(jnp.asarray(vol), in_dim, out_dim,
+                                        preserve_range=False, order=0))
+        want = ref_ct.resample_ct(vol.copy(), list(in_dim), list(out_dim),
+                                  preserve_range=False, order=0)
+        assert got.shape == want.shape, (got.shape, want.shape)
+        # exclude the last index per axis: scipy's FP endpoint coordinate
+        # can land just outside the domain and zero it (mode='constant') —
+        # a shape-dependent scipy artifact we deliberately clamp instead
+        # (see ops/ct.py resize_nearest_zoom docstring)
+        np.testing.assert_allclose(got[:-1, :-1, :-1],
+                                   want.astype(np.float32)[:-1, :-1, :-1],
+                                   atol=2e-4)
