@@ -72,7 +72,7 @@ def resample_ct(
     if order == 0:
         out = resize_nearest_zoom(ct_scan, new_shape)
     else:
-        out = jax.image.resize(ct_scan, new_shape, method="linear")
+        out = _resize_linear_zoom(ct_scan, new_shape)
     if preserve_range:
         in_min, in_max = jnp.min(ct_scan), jnp.max(ct_scan)
         o_min, o_max = jnp.min(out), jnp.max(out)
@@ -130,6 +130,30 @@ def resize_nearest_zoom(x: jax.Array, shape: Sequence[int]) -> jax.Array:
         idx = jnp.clip(idx, 0, n_in - 1)
         out = jnp.take(out, idx, axis=axis)
     return out
+
+
+def _resize_linear_zoom(x: jax.Array, shape: Sequence[int]) -> jax.Array:
+    """Linear resize with ``scipy.ndimage.zoom(order=1)``'s endpoint-aligned
+    grid (``in = o * (in-1)/(out-1)``; the reference's default
+    ``resampling_order=1``, ``datasets.py:180``). Expressed as
+    ``jax.image.scale_and_translate`` with per-axis scale
+    ``(out-1)/(in-1)`` and translation ``0.5 - 0.5*scale``; antialias off —
+    scipy's order-1 spline does not low-pass when downsampling."""
+    dims = [a for a, (o, i) in enumerate(zip(shape, x.shape)) if o != i]
+    if not dims:
+        return x
+    scale = jnp.asarray(
+        [
+            (shape[a] - 1) / (x.shape[a] - 1) if shape[a] > 1 else 1.0
+            for a in dims
+        ],
+        jnp.float32,
+    )
+    translation = 0.5 - 0.5 * scale
+    return jax.image.scale_and_translate(
+        x, tuple(shape), dims, scale, translation,
+        method="linear", antialias=False,
+    )
 
 
 def resize(

@@ -123,3 +123,31 @@ def test_resample_ct_order0_matches_reference_module():
         np.testing.assert_allclose(got[:-1, :-1, :-1],
                                    want.astype(np.float32)[:-1, :-1, :-1],
                                    atol=2e-4)
+
+
+def test_resample_ct_order1_matches_reference_module():
+    """Head-to-head vs the reference's OWN resample_ct at its default
+    order=1 (ct_utils.py:63, scipy zoom linear): the endpoint-aligned
+    scale_and_translate mapping must reproduce scipy's linear values."""
+    ref_ct = _import_reference_ct_utils()
+    if ref_ct is None:
+        import pytest
+
+        pytest.skip("no reference checkout")
+    rng = np.random.default_rng(4)
+    vol = rng.uniform(-100, 300, size=(20, 24, 10)).astype(np.float32)
+    for in_dim, out_dim in [
+        ((0.5, 0.5, 5.0), (1.0, 1.0, 2.5)),
+        ((0.4, 0.4, 4.0), (-1, -1, 2.0)),
+        ((0.7, 0.7, 3.0), (1.0, 1.0, 2.0)),
+    ]:
+        got = np.asarray(ct.resample_ct(jnp.asarray(vol), in_dim, out_dim,
+                                        preserve_range=False, order=1))
+        want = ref_ct.resample_ct(vol.copy(), list(in_dim), list(out_dim),
+                                  preserve_range=False, order=1)
+        assert got.shape == want.shape, (got.shape, want.shape)
+        # last index per axis excluded: scipy's FP endpoint artifact
+        # (see test_resample_ct_order0_matches_reference_module)
+        np.testing.assert_allclose(got[:-1, :-1, :-1],
+                                   want.astype(np.float32)[:-1, :-1, :-1],
+                                   atol=5e-3)
