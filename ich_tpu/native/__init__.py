@@ -156,9 +156,13 @@ def load_nifti_batch(
     out = []
     for i in range(n):
         cnt = int(status[i])
-        # zero-copy: wrap the C buffer and free it when the array dies
+        # zero-copy: wrap the C buffer and free it when the array dies.
+        # Finalize the ndarray, NOT arr.base: the base is a memoryview,
+        # which is only weakref-able since Python 3.12. The reshape below
+        # keeps `arr` alive through its .base chain, so the finalizer runs
+        # exactly when the last view dies.
         arr = np.ctypeslib.as_array(ptrs[i], shape=(cnt,))
-        weakref.finalize(arr.base, lib.fastload_free, ptrs[i])
+        weakref.finalize(arr, lib.fastload_free, ptrs[i])
         ndim = int(dims[i, 0])
         shape = tuple(int(d) for d in dims[i, 1 : 1 + ndim])
         out.append((arr.reshape(shape, order="F"), pixdim[i, 1 : 1 + ndim]))

@@ -69,10 +69,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Any, mesh: Optional[Mesh] = None) -> Any:
     """Place a pytree of batched host arrays on the mesh, leading axis split
-    over ``data``. Batch size must divide the data-axis size."""
+    over ``data`` (the data-axis size must divide the batch size). Scalar
+    (0-d) leaves have no batch axis and are replicated."""
     mesh = get_mesh(mesh)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
+        lambda x: jax.device_put(
+            x,
+            batch_sharding(mesh, np.ndim(x))
+            if np.ndim(x) else replicated_sharding(mesh),
+        ),
+        batch,
     )
 
 

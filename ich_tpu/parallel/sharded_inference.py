@@ -60,6 +60,8 @@ def volume_parallel_map(
     from ich_tpu.utils.pipeline import fetch_pipelined
 
     n = len(volumes)
+    if n == 0:
+        return
     n_dev = mesh.shape[axis_name]
     shape = tuple(volumes[0].shape)
     dtype = np.asarray(volumes[0]).dtype
@@ -86,9 +88,12 @@ def volume_parallel_map(
             k = len(chunk)
             if k < n_dev:  # pad the tail round by repeating the last volume
                 chunk = chunk + [chunk[-1]] * (n_dev - k)
+            # device_put the HOST stack with the sharding attached: each
+            # device receives only its shard. Staging through jnp.asarray
+            # first would materialize the whole round on the default device
+            # (an n_dev-times HBM spike + an extra device-to-device pass).
             stack = jax.device_put(
-                jnp.asarray(np.stack(chunk)),
-                NamedSharding(mesh, P(axis_name)),
+                np.stack(chunk), NamedSharding(mesh, P(axis_name))
             )
             yield k, fn(variables, stack)
 
@@ -149,19 +154,24 @@ def sliding_window_inference_sharded(
     volume = jnp.pad(volume, [(0, d2 - d), (0, h2 - h), (0, w2 - w), (0, 0)])
 
     def local(vol_slab, variables):
-        idx = jax.lax.axis_index(axis_name)
-        # halos from neighbors (ring ppermute; invalid wraps zeroed)
-        top = jax.lax.ppermute(
-            vol_slab[:, -halo:], axis_name,
-            [(i, (i + 1) % n_dev) for i in range(n_dev)],
-        )
-        bot = jax.lax.ppermute(
-            vol_slab[:, :halo], axis_name,
-            [(i, (i - 1) % n_dev) for i in range(n_dev)],
-        )
-        top = jnp.where(idx == 0, 0.0, top)
-        bot = jnp.where(idx == n_dev - 1, 0.0, bot)
-        ext = jnp.concatenate([top, vol_slab, bot], axis=1)
+        if halo:  # overlap 0 -> no boundary-straddling patches, no exchange
+            # halos from neighbors (ring ppermute; invalid wraps zeroed).
+            # NB halo == 0 must NOT take this path: vol_slab[:, -0:] is the
+            # WHOLE slab, which would ship and prepend the neighbor's slab.
+            idx = jax.lax.axis_index(axis_name)
+            top = jax.lax.ppermute(
+                vol_slab[:, -halo:], axis_name,
+                [(i, (i + 1) % n_dev) for i in range(n_dev)],
+            )
+            bot = jax.lax.ppermute(
+                vol_slab[:, :halo], axis_name,
+                [(i, (i - 1) % n_dev) for i in range(n_dev)],
+            )
+            top = jnp.where(idx == 0, 0.0, top)
+            bot = jnp.where(idx == n_dev - 1, 0.0, bot)
+            ext = jnp.concatenate([top, vol_slab, bot], axis=1)
+        else:
+            ext = vol_slab
         # extend to the coset grid along H (halo + slab + halo may need pad)
         ext_h = ext.shape[1]
         ext_h2 = pad_to_grid(ext_h, ph, sh)
@@ -173,15 +183,24 @@ def sliding_window_inference_sharded(
 
     from jax import shard_map
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(None, axis_name, None, None), P()),
-        out_specs=P(None, axis_name, None, None),
-        check_vma=False,
-    )
+    # memoize the jitted shard_map program: a fresh closure per call would
+    # re-trace every invocation (the serving path calls this per request)
+    key = (mesh, axis_name, (d2, h2, w2, c), str(volume.dtype),
+           patch_size, strides, batch_size)
+    hit = _VP_CACHE.get(key)
+    if hit is not None and hit[0] is apply_fn:
+        fn = hit[1]
+    else:
+        fn = jax.jit(shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, axis_name, None, None), P()),
+            out_specs=P(None, axis_name, None, None),
+            check_vma=False,
+        ))
+        _VP_CACHE[key] = (apply_fn, fn)
     vol_sharded = jax.device_put(volume, NamedSharding(mesh, P(None, axis_name, None, None)))
-    out = jax.jit(fn)(vol_sharded, variables)
+    out = fn(vol_sharded, variables)
     return out[:d, :h, :w]
 
 

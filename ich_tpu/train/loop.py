@@ -55,6 +55,9 @@ def fit(
     mesh-sharded callers should device_put BEFORE calling fit and pass the
     same placement here for the msgpack (host-side) restore path.
     """
+    # register the graceful-SIGTERM handler so the preemption.requested()
+    # poll below can ever fire (idempotent; no-op off the main thread)
+    preemption.install()
     n_epoch_finished, history = 0, []
     if checkpoint_path:
         restored = ckpt.load_checkpoint_auto(checkpoint_path, state)

@@ -32,7 +32,8 @@ _DEFAULT_DIR = os.path.join(
 
 def enable_compilation_cache(
     cache_dir: Optional[str] = None,
-    min_compile_time_secs: float = 1.0,
+    min_compile_time_secs: float = 0.0,  # jax's default of 1.0 would skip
+    # sub-second programs — serving restarts would re-pay every one of them
 ) -> Optional[str]:
     """Point jax's persistent compilation cache at ``cache_dir``.
 

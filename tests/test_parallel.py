@@ -88,6 +88,40 @@ def test_sharded_sliding_window_identity(mesh):
     np.testing.assert_allclose(np.asarray(out)[..., 0], vol, atol=1e-4)
 
 
+def test_sharded_sliding_window_overlap_zero(mesh):
+    """overlap=0 means halo=0: no boundary patches straddle devices, so no
+    halo exchange — the old code sliced vol_slab[:, -0:] (the WHOLE slab)
+    and silently returned every device's output H-shifted by one slab."""
+    from ich_tpu.parallel.sharded_inference import sliding_window_inference_sharded
+
+    rng = np.random.default_rng(5)
+    vol = rng.uniform(size=(8, 64, 8)).astype(np.float32)
+    out = sliding_window_inference_sharded(
+        lambda v, x: x, {}, jnp.asarray(vol), mesh,
+        patch_size=(8, 8, 8), overlap=0.0, batch_size=4,
+    )
+    np.testing.assert_allclose(np.asarray(out)[..., 0], vol, atol=1e-4)
+
+
+def test_shard_batch_replicates_scalar_leaves(mesh):
+    """0-d leaves (step counters, loss weights) have no batch axis to split
+    and must be replicated, not crash with an IndexError."""
+    from ich_tpu.parallel.mesh import shard_batch
+
+    batch = {"x": np.ones((8, 4), np.float32), "w": np.float32(3.0)}
+    placed = shard_batch(batch, mesh)
+    assert placed["x"].shape == (8, 4)
+    assert float(placed["w"]) == 3.0
+
+
+def test_volume_parallel_map_empty_input(mesh):
+    """An empty request yields nothing (serving paths can see empty
+    batches) instead of IndexError on volumes[0]."""
+    from ich_tpu.parallel.sharded_inference import volume_parallel_map
+
+    assert list(volume_parallel_map(lambda v, x: x, {}, [], mesh)) == []
+
+
 @pytest.mark.slow
 def test_sharded_sliding_window_matches_single_device(mesh):
     """With a real conv net, the sharded result matches the single-device
