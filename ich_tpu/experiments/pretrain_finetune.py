@@ -66,9 +66,11 @@ def pretrain_contrastive(cfg: dict, dataset, local_dataset=None) -> dict:
     returns the pretrained variables of the last phase."""
     n = cfg["net"]
     tr = cfg["train"]
+    # defaults mirror build_unet_from_cfg so a config omitting
+    # top_filter/midchannels_factor still yields a transferable encoder
     enc = UNetEncoder(
-        depth=n.get("depth", 5), top_filter=n.get("top_filter", 32),
-        midchannels_factor=n.get("midchannels_factor", 1),
+        depth=n.get("depth", 5), top_filter=n.get("top_filter", 64),
+        midchannels_factor=n.get("midchannels_factor", 2),
         mlp_head=tuple(n.get("MLP_head", (256, 128))),
         p_dropout=n.get("p_dropout", 0.0),
     )
@@ -90,8 +92,8 @@ def pretrain_contrastive(cfg: dict, dataset, local_dataset=None) -> dict:
         lc = cfg["local"]
         part = PartialUNet(
             depth=n.get("depth", 5), n_decoder=lc.get("n_decoder", 3),
-            top_filter=n.get("top_filter", 32),
-            midchannels_factor=n.get("midchannels_factor", 1),
+            top_filter=n.get("top_filter", 64),
+            midchannels_factor=n.get("midchannels_factor", 2),
             head_channel=tuple(lc.get("head_channel", (64, 32))),
             p_dropout=n.get("p_dropout", 0.0),
         )
@@ -119,9 +121,10 @@ def pretrain_classifier(cfg: dict, dataset: LabeledSliceDataset, multi: bool = F
     n = cfg["net"]
     tr = cfg["train"]
     n_out = 7 if multi else 2
+    # defaults mirror build_unet_from_cfg (see pretrain_contrastive)
     enc = UNetEncoder(
-        depth=n.get("depth", 5), top_filter=n.get("top_filter", 32),
-        midchannels_factor=n.get("midchannels_factor", 1),
+        depth=n.get("depth", 5), top_filter=n.get("top_filter", 64),
+        midchannels_factor=n.get("midchannels_factor", 2),
         mlp_head=tuple(n.get("MLP_head", (256,)) ) + (n_out,),
         p_dropout=n.get("p_dropout", 0.0),
     )

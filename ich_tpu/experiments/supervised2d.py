@@ -48,6 +48,7 @@ def build_unet_from_cfg(net_cfg: dict, norm: str = "batch") -> UNet:
         midchannels_factor=net_cfg.get("midchannels_factor", 2),
         p_dropout=net_cfg.get("p_dropout", 0.5),
         use_final_activation=net_cfg.get("use_final_activation", True),
+        gated=net_cfg.get("gated", False),  # the adUNet2D gated-conv variant
         norm=net_cfg.get("norm", norm),
     )
 

@@ -140,6 +140,16 @@ def transfer_weights(
             "%d matching weight keys found on %d to be transferred (%d target keys).",
             len(transferred), len(src_flat), len(tgt_flat),
         )
+    if not transferred and src_flat:
+        # a transfer that moves NOTHING is always a config bug (e.g. the
+        # pretrain encoder and fine-tune net built with different
+        # top_filter/midchannels_factor) — failing loudly beats silently
+        # fine-tuning from random init
+        raise ValueError(
+            f"transfer_weights: none of the {len(src_flat)} source keys "
+            f"matched the target (by path and shape) — the architectures "
+            f"are incompatible; check depth/top_filter/midchannels_factor."
+        )
     return new_target, transferred
 
 

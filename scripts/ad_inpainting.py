@@ -29,6 +29,7 @@ def main(config_path, export_attention):
 
     from ich_tpu.data.segich import load_segich_2d
     from ich_tpu.models import GatedGenerator, PatchDiscriminator, SAGatedGenerator, resnet18
+    from ich_tpu.postprocessing.update_pred import slice_score_row, write_prediction_scores
     from ich_tpu.train import BinaryClassifier, InpaintAnomalyDetector, SNPatchGAN, robust_anomaly_detect
 
     size = cfg["data"]["size"]
@@ -61,11 +62,16 @@ def main(config_path, export_attention):
     os.makedirs(out_dir, exist_ok=True)
     rows = []
     att_rows = []
+    # gate the whole test set in ONE batched call: per-slice batch-1 calls
+    # would pay the ~34 ms tunnel fetch per slice (CLAUDE.md)
+    gate_scores = None
+    if gate is not None:
+        gate_scores = np.asarray(gate.predict_scores(test.images))
     for i in range(len(test)):
         img = test.images[i]
         gated_pos = True
-        if gate is not None:
-            gated_pos = float(gate.predict_scores(img[None])[0]) >= cfg["ad"].get("gate_threshold", 0.5)
+        if gate_scores is not None:
+            gated_pos = float(gate_scores[i]) >= cfg["ad"].get("gate_threshold", 0.5)
         if gated_pos:
             pred, amap = robust_anomaly_detect(
                 img, det,
@@ -76,11 +82,7 @@ def main(config_path, export_attention):
             pred = np.zeros_like(img, dtype=bool)
             amap = np.zeros_like(img)
         t = test.masks[i]
-        tp = float((pred * t).sum()); fp = float((pred * (1 - t)).sum())
-        fn = float(((~pred) * t).sum())
-        rows.append({"volID": int(test.vol_ids[i]), "slice": int(test.slice_nbrs[i]),
-                     "label": int(t.max() > 0), "TP": tp, "FP": fp, "FN": fn,
-                     "Dice": (2 * tp + 1) / (2 * tp + fp + fn + 1)})
+        rows.append(slice_score_row(pred, t, test.vol_ids[i], test.slice_nbrs[i]))
         if export_attention:
             from PIL import Image
 
@@ -92,11 +94,7 @@ def main(config_path, export_attention):
             att_rows.append({"PatientNumber": int(test.vol_ids[i]),
                              "SliceNumber": int(test.slice_nbrs[i]),
                              "attention_fn": rel})
-    df = pd.DataFrame(rows)
-    df.to_csv(os.path.join(out_dir, "slice_prediction_scores.csv"))
-    v = df.groupby("volID").agg({"label": "max", "TP": "sum", "FP": "sum", "FN": "sum"})
-    v["Dice"] = (2 * v.TP + 1) / (2 * v.TP + v.FP + v.FN + 1)
-    v.to_csv(os.path.join(out_dir, "volume_prediction_scores.csv"))
+    df, v = write_prediction_scores(rows, out_dir)
     if export_attention and att_rows:
         pd.DataFrame(att_rows).to_csv(os.path.join(export_attention, "info.csv"))
     click.echo(f"volume Dice (all): {v.Dice.mean():.4f}; artifacts at {out_dir}")

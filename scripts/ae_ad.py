@@ -57,7 +57,6 @@ def main(config_path, detect):
         ae.save_model(os.path.join(out_dir, "ae.bin"))
         ae.save_outputs(os.path.join(out_dir, "outputs.json"))
     else:
-        import pandas as pd
 
         from ich_tpu.data.segich import load_segich_2d
         from ich_tpu.ops import morphology as morph
@@ -71,24 +70,17 @@ def main(config_path, detect):
                               size=cfg["data"]["size"])
         amaps = ae.anomaly_map(test.images)
         alpha = cfg["ad"].get("alpha", 1.5)
+        from ich_tpu.postprocessing.update_pred import slice_score_row, write_prediction_scores
+
         rows = []
         for i in range(len(test)):
             lo, hi = morph.quantile_iqr_thresholds(jnp.asarray(amaps[i]), alpha)
             pred = np.asarray(morph.hysteresis_threshold(jnp.asarray(amaps[i]), lo, hi))
             t = test.masks[i]
-            tp = float((pred * t).sum()); fp = float((pred * (1 - t)).sum())
-            fn = float(((1 - pred) * t).sum())
-            rows.append({
-                "volID": int(test.vol_ids[i]), "slice": int(test.slice_nbrs[i]),
-                "label": int(t.max() > 0), "TP": tp, "FP": fp, "FN": fn,
-                "Dice": (2 * tp + 1) / (2 * tp + fp + fn + 1),
-                "pixel_AUC": pixel_auc(amaps[i], t) if t.max() > 0 else float("nan"),
-            })
-        df = pd.DataFrame(rows)
-        df.to_csv(os.path.join(out_dir, "slice_prediction_scores.csv"))
-        v = df.groupby("volID").agg({"label": "max", "TP": "sum", "FP": "sum", "FN": "sum"})
-        v["Dice"] = (2 * v.TP + 1) / (2 * v.TP + v.FP + v.FN + 1)
-        v.to_csv(os.path.join(out_dir, "volume_prediction_scores.csv"))
+            rows.append(slice_score_row(
+                pred, t, test.vol_ids[i], test.slice_nbrs[i],
+                pixel_AUC=pixel_auc(amaps[i], t) if t.max() > 0 else float("nan")))
+        df, v = write_prediction_scores(rows, out_dir)
         click.echo(f"volume Dice (all): {v.Dice.mean():.4f}")
     click.echo(f"Artifacts at {out_dir}")
 

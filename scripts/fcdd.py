@@ -53,7 +53,6 @@ def main(config_path, eval_volumes):
         f.save_model(os.path.join(out_dir, "fcdd.bin"))
         f.save_outputs(os.path.join(out_dir, "outputs.json"))
     else:
-        import pandas as pd
 
         from ich_tpu.data.segich import load_segich_2d
         from ich_tpu.ops.metrics import pixel_auc
@@ -65,21 +64,16 @@ def main(config_path, eval_volumes):
         f.get_min_max(test.images[: min(512, len(test))])
         heat = f.generate_heatmap(test.images)
         thr = cfg["ad"].get("threshold", 0.5)
+        from ich_tpu.postprocessing.update_pred import slice_score_row, write_prediction_scores
+
         rows = []
         for i in range(len(test)):
             pred = (heat[i] >= thr).astype(np.float32)
             t = test.masks[i]
-            tp = float((pred * t).sum()); fp = float((pred * (1 - t)).sum())
-            fn = float(((1 - pred) * t).sum())
-            rows.append({"volID": int(test.vol_ids[i]), "slice": int(test.slice_nbrs[i]),
-                         "label": int(t.max() > 0), "TP": tp, "FP": fp, "FN": fn,
-                         "Dice": (2 * tp + 1) / (2 * tp + fp + fn + 1),
-                         "pixel_AUC": pixel_auc(heat[i], t) if t.max() > 0 else float("nan")})
-        df = pd.DataFrame(rows)
-        df.to_csv(os.path.join(out_dir, "slice_prediction_scores.csv"))
-        v = df.groupby("volID").agg({"label": "max", "TP": "sum", "FP": "sum", "FN": "sum"})
-        v["Dice"] = (2 * v.TP + 1) / (2 * v.TP + v.FP + v.FN + 1)
-        v.to_csv(os.path.join(out_dir, "volume_prediction_scores.csv"))
+            rows.append(slice_score_row(
+                pred, t, test.vol_ids[i], test.slice_nbrs[i],
+                pixel_AUC=pixel_auc(heat[i], t) if t.max() > 0 else float("nan")))
+        df, v = write_prediction_scores(rows, out_dir)
         click.echo(f"volume Dice: {v.Dice.mean():.4f}; "
                    f"pixel AUC (pos slices): {df.pixel_AUC.mean():.4f}")
     click.echo(f"Artifacts at {out_dir}")

@@ -37,7 +37,10 @@ def main(exp_dir, data_dir, brain_dir, n_fold, size):
         for i in range(len(ds)):
             fn = os.path.join(brain_dir, f"{int(ds.vol_ids[i])}/{int(ds.slice_nbrs[i])}.bmp")
             if os.path.exists(fn):
-                masks[i] = (np.asarray(Image.open(fn).resize((size, size))) > 0)
+                # NEAREST: bicubic would interpolate/overshoot the binary
+                # mask and '>0' would dilate the brain boundary
+                masks[i] = (np.asarray(
+                    Image.open(fn).resize((size, size), Image.NEAREST)) > 0)
             else:
                 masks[i] = 1.0  # no brain mask -> keep everything
         return masks

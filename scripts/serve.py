@@ -26,6 +26,9 @@ import numpy as np
 
 from _common import setup_logger
 
+import logging
+
+logger = logging.getLogger("ich_tpu.serve")
 
 MAX_BATCH = 16  # volumes decoded per serve cycle (bounds host memory)
 MAX_RETRIES = 3  # decode failures before a file is quarantined (.failed)
@@ -50,13 +53,25 @@ def _pending(watch_dir: str, output_dir: str, settle_s: float = 0.0):
     Our own ``*_mask.nii.gz`` outputs are excluded so watch_dir ==
     output_dir does not re-ingest (and endlessly re-mask) its results."""
     out = []
+    seen = set()
     now = time.time()
     for fn in sorted(os.listdir(watch_dir)):
+        if fn.startswith("."):
+            continue  # our own .<name>_mask.tmp.* (possibly stale after a
+            # crash) and other hidden files are never inputs
         if not (fn.endswith(".nii") or fn.endswith(".nii.gz")):
             continue
         name = _vol_name(fn)
         if name.endswith("_mask"):
             continue
+        if name in seen:
+            # a.nii AND a.nii.gz: same mask/done names, same tmp path — the
+            # second would crash the cycle on os.replace. Serve the first
+            # (sorted) and tell the operator to rename the other.
+            logger.error("skipping %s: name %r collides with another watch "
+                         "file; rename one of them", fn, name)
+            continue
+        seen.add(name)
         if os.path.exists(os.path.join(output_dir, f"{name}.done")):
             continue
         if os.path.exists(os.path.join(output_dir, f"{name}.failed")):

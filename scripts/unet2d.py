@@ -5,14 +5,9 @@ surface as the reference's ``scripts/unet-2D/UNet2D_scripts.py:35-37`` and
 the same config schema (``UNet2D_config.json``).
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 import click
 
-from ich_tpu.utils.config import AttrDict
+from _common import load_cfg  # also enables the persistent compile cache
 
 
 @click.command()
@@ -20,7 +15,7 @@ from ich_tpu.utils.config import AttrDict
 def main(config_path):
     from ich_tpu.experiments import run_supervised_2d
 
-    cfg = AttrDict.from_json_path(config_path).to_dict()
+    cfg = load_cfg(config_path)
     out = run_supervised_2d(cfg)
     click.echo(f"Experiment artifacts written to {out}")
 

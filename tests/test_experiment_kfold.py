@@ -83,3 +83,31 @@ def test_kfold_fold_idempotency(tmp_path):
     mtime = os.path.getmtime(os.path.join(out, "Fold_1/outputs.json"))
     run_supervised_2d(cfg, datasets_by_fold=_folds)  # should skip training
     assert os.path.getmtime(os.path.join(out, "Fold_1/outputs.json")) == mtime
+
+
+def test_build_unet_from_cfg_passes_gated():
+    """attention_unet2d.py sets net.gated=True; dropping it would silently
+    train a plain U-Net on the gated-conv workload."""
+    from ich_tpu.experiments.supervised2d import build_unet_from_cfg
+
+    assert build_unet_from_cfg({"gated": True, "depth": 3}).gated is True
+    assert build_unet_from_cfg({"depth": 3}).gated is False
+
+
+def test_transfer_weights_raises_on_zero_intersection():
+    """A transfer that moves nothing is always a config bug (e.g. pretrain
+    encoder and fine-tune net built with different top_filter) — it must
+    fail loudly, not silently fine-tune from random init."""
+    import jax.numpy as jnp
+    import pytest
+
+    from ich_tpu.train.checkpoint import transfer_weights
+
+    tgt = {"params": {"a": jnp.zeros((2, 2))}}
+    src = {"params": {"b": jnp.ones((2, 2))}}
+    with pytest.raises(ValueError, match="none of the"):
+        transfer_weights(tgt, src)
+    # shape mismatch on every shared path is the same failure
+    src2 = {"params": {"a": jnp.ones((3, 3))}}
+    with pytest.raises(ValueError, match="none of the"):
+        transfer_weights(tgt, src2)
