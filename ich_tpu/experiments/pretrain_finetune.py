@@ -27,6 +27,19 @@ from ich_tpu.train.ssl import ContextRestoration, Contrastive
 logger = logging.getLogger(__name__)
 
 
+
+def _abort_if_preempted(phase: str) -> None:
+    """A preempted pretrain phase checkpointed and stopped early — the
+    downstream phase must not fine-tune a half-trained encoder and write
+    'complete' artifacts; exit and let the restart resume the phase."""
+    from ich_tpu.utils import preemption
+
+    if preemption.requested():
+        logging.getLogger(__name__).warning(
+            "Preempted during %s: leaving checkpoint for resume.", phase)
+        raise SystemExit(143)
+
+
 def pretrain_context_restoration(cfg: dict, dataset) -> dict:
     """Phase 1 of the CR workflow; returns the pretrained variables."""
     net_cfg = dict(cfg["net"])
@@ -48,6 +61,7 @@ def pretrain_context_restoration(cfg: dict, dataset) -> dict:
     out_dir = os.path.join(cfg["path"]["OUTPUT"], cfg["exp_name"], "pretrain")
     os.makedirs(out_dir, exist_ok=True)
     cr.train(dataset, checkpoint_path=os.path.join(out_dir, "checkpoint.bin"))
+    _abort_if_preempted("context-restoration pretrain")
     try:
         labels = getattr(dataset, "labels", None)
         if labels is not None:
@@ -84,6 +98,7 @@ def pretrain_contrastive(cfg: dict, dataset, local_dataset=None) -> dict:
     out_dir = os.path.join(cfg["path"]["OUTPUT"], cfg["exp_name"], "pretrain_global")
     os.makedirs(out_dir, exist_ok=True)
     glob.train(dataset, checkpoint_path=os.path.join(out_dir, "checkpoint.bin"))
+    _abort_if_preempted("global contrastive pretrain")
     glob.save_model(os.path.join(out_dir, "pretrained.bin"))
     glob.save_outputs(os.path.join(out_dir, "outputs.json"))
     weights = glob.get_state_dict()
@@ -109,6 +124,7 @@ def pretrain_contrastive(cfg: dict, dataset, local_dataset=None) -> dict:
         os.makedirs(out_dir, exist_ok=True)
         local.train(local_dataset or dataset,
                     checkpoint_path=os.path.join(out_dir, "checkpoint.bin"))
+        _abort_if_preempted("local contrastive pretrain")
         local.save_model(os.path.join(out_dir, "pretrained.bin"))
         local.save_outputs(os.path.join(out_dir, "outputs.json"))
         weights = local.get_state_dict()
@@ -141,6 +157,7 @@ def pretrain_classifier(cfg: dict, dataset: LabeledSliceDataset, multi: bool = F
     out_dir = os.path.join(cfg["path"]["OUTPUT"], cfg["exp_name"], "pretrain_classifier")
     os.makedirs(out_dir, exist_ok=True)
     cls.train(dataset, checkpoint_path=os.path.join(out_dir, "checkpoint.bin"))
+    _abort_if_preempted("classification pretrain")
     cls.evaluate(dataset, print_to_logger=True, save_path=out_dir)
     cls.save_model(os.path.join(out_dir, "pretrained.bin"))
     cls.save_outputs(os.path.join(out_dir, "outputs.json"))

@@ -27,6 +27,7 @@ from ich_tpu.data.segich import load_segich_2d, split_summary_table, subsample_n
 from ich_tpu.models.unet import UNet
 from ich_tpu.ops import transforms as T
 from ich_tpu.train.segmentation2d import UNet2D
+from ich_tpu.utils import preemption
 from ich_tpu.utils.config import TRANSFORMS
 from ich_tpu.utils.logging import setup_logger
 
@@ -183,6 +184,14 @@ def run_supervised_2d(cfg: dict, datasets_by_fold=None, init_variables=None) -> 
             valid_dataset=test_ds if tr.get("validate_epoch", False) else None,
             checkpoint_path=ckpt_path,
         )
+        if preemption.requested():
+            # the fit loop checkpointed and stopped early: do NOT evaluate
+            # the undertrained model or write outputs.json (which would
+            # mark the fold done forever) — the restart resumes from the
+            # checkpoint left in fold_dir
+            logger.warning("Preempted during fold %d: leaving checkpoint for "
+                           "resume and aborting the k-fold pipeline.", k + 1)
+            raise SystemExit(143)
         trainer.evaluate(test_ds, save_path=os.path.join(fold_dir, "pred"))
         trainer.save_model(os.path.join(fold_dir, "trained_unet.bin"))
         logger.info("Trained U-Net saved at %s", os.path.join(fold_dir, "trained_unet.bin"))

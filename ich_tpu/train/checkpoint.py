@@ -43,6 +43,10 @@ def save_checkpoint(path: str, state: Any, epoch: int, history: list) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())  # the atomic rename only helps if the data
+        # blocks are durable first — without it a power loss can leave a
+        # truncated (undecodable) checkpoint behind the new name
     os.replace(tmp, path)
 
 
@@ -59,9 +63,8 @@ def load_checkpoint(path: str, state_template: Any) -> Optional[Tuple[Any, int, 
         "history_json": "",
     }
     payload = flax.serialization.from_bytes(template, blob)
-    state = jax.tree_util.tree_map(
-        lambda t, v: v, state_template, payload["state"]
-    )
+    # from_bytes already restored into the template's structure
+    state = payload["state"]
     return state, int(payload["epoch"]), json.loads(payload["history_json"])
 
 

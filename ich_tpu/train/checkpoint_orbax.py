@@ -29,10 +29,19 @@ _META = "meta.json"
 _STATE = "state"
 
 
-def _checkpointer():
-    import orbax.checkpoint as ocp
+_CKPTR = None
 
-    return ocp.StandardCheckpointer()
+
+def _checkpointer():
+    # one long-lived checkpointer: each StandardCheckpointer owns an async
+    # background thread + multihost-sync resources that are never closed,
+    # so constructing one per save would leak a thread per checkpoint
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
 
 
 def _barrier():
@@ -57,16 +66,22 @@ def save_checkpoint_sharded(path: str, state: Any, epoch: int, history: list) ->
     ckptr = _checkpointer()
     state_dir = os.path.join(path, _STATE)
     new_dir = state_dir + ".new"
+    meta_new = os.path.join(path, _META + ".new")
     if os.path.exists(new_dir) and jax.process_index() == 0:
         import shutil
 
         if not os.path.exists(state_dir):
             # crash landed between rmtree(state) and the swap: state.new is
-            # the ONLY complete checkpoint — promote it instead of deleting
-            # (otherwise a crash during this save would lose everything)
+            # the ONLY complete checkpoint — promote it (and its meta)
+            # instead of deleting (otherwise a crash during this save
+            # would lose everything)
             os.replace(new_dir, state_dir)
+            if os.path.exists(meta_new):
+                os.replace(meta_new, os.path.join(path, _META))
         else:
             shutil.rmtree(new_dir)  # leftover from an interrupted save
+            if os.path.exists(meta_new):
+                os.remove(meta_new)  # its meta is stale with state.new gone
     _barrier()
     ckptr.save(new_dir, state)
     ckptr.wait_until_finished()
@@ -74,13 +89,18 @@ def save_checkpoint_sharded(path: str, state: Any, epoch: int, history: list) ->
     if jax.process_index() == 0:
         import shutil
 
+        # meta for the NEW state is durable BEFORE any swap: whichever
+        # state dir a crash leaves behind, the loader can pair it with a
+        # matching epoch (state.new <-> meta.json.new; promoted state <->
+        # meta.json.new until the final rename) — resume never replays
+        # more than the current save interval
+        with open(meta_new + ".tmp", "w") as f:
+            json.dump({"epoch": int(epoch), "history": history}, f)
+        os.replace(meta_new + ".tmp", meta_new)
         if os.path.exists(state_dir):
             shutil.rmtree(state_dir)
         os.replace(new_dir, state_dir)
-        meta_tmp = os.path.join(path, _META + ".tmp")
-        with open(meta_tmp, "w") as f:
-            json.dump({"epoch": int(epoch), "history": history}, f)
-        os.replace(meta_tmp, os.path.join(path, _META))
+        os.replace(meta_new, os.path.join(path, _META))
     _barrier()
 
 
@@ -95,9 +115,12 @@ def load_checkpoint_sharded(
     meta_fn = os.path.join(path, _META)
     if not os.path.isdir(state_dir) and os.path.isdir(state_dir + ".new"):
         # crash between finalize and swap: the new checkpoint is complete
-        # (meta.json may still carry the previous epoch — resume then
-        # replays at most one epoch, never loses state)
         state_dir = state_dir + ".new"
+    if os.path.exists(meta_fn + ".new"):
+        # a crash before the final meta rename leaves meta.json.new, which
+        # describes whichever state dir survived (it is written before any
+        # swap) — prefer it so the resumed epoch matches the state
+        meta_fn = meta_fn + ".new"
     if not (os.path.isdir(state_dir) and os.path.exists(meta_fn)):
         return None
     ckptr = _checkpointer()

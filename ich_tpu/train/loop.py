@@ -91,8 +91,12 @@ def fit(
         # block dispatch on every step (and on this image's tunneled
         # platform each fetch is a host round-trip); fetch once per epoch
         losses, epoch_start = [], time.time()
+        epoch_key = jax.random.fold_in(root_key, epoch)
         for b, batch in enumerate(batches_fn(epoch)):
-            key = jax.random.fold_in(root_key, epoch * 100003 + b)
+            # chained fold_in is collision-free for any epoch length (the
+            # old epoch*K+b encoding aliased (e, K) with (e+1, 0) once an
+            # epoch exceeded K steps)
+            key = jax.random.fold_in(epoch_key, b)
             state, loss = train_step(state, batch, key)
             losses.append(
                 jax.numpy.stack(loss) if isinstance(loss, (tuple, list)) else loss
@@ -102,11 +106,16 @@ def fit(
         )
 
         history.append(epoch_hook(state, epoch, mean_losses, time.time() - epoch_start))
+        saved = False
         if checkpoint_path and (epoch + 1) % checkpoint_freq == 0:
             ckpt.save_checkpoint_auto(checkpoint_path, state, epoch + 1, history)
             logger.info("\tCheckpoint saved.")
-        if preemption.requested():
-            if checkpoint_path:
+            saved = True
+        # cross-host agreement: acting on a per-host flag would let one
+        # host enter the checkpoint barrier while another proceeds into
+        # the next epoch's collectives (deadlock on a multi-host mesh)
+        if preemption.requested_global():
+            if checkpoint_path and not saved:
                 ckpt.save_checkpoint_auto(checkpoint_path, state, epoch + 1, history)
             logger.warning(
                 "Preemption requested: checkpointed after epoch %d, stopping.",

@@ -31,3 +31,39 @@ def test_preemption_checkpoints_and_stops(tmp_path):
                 batch_size=8, lr=1e-3, checkpoint_freq=100)
     t2.train(data, checkpoint_path=path)
     assert [h[0] for h in t2.outputs["train"]["evolution"]] == [1, 2, 3]
+
+
+def test_preempted_kfold_leaves_fold_resumable(tmp_path):
+    """A preempted fold must NOT evaluate the undertrained model or write
+    outputs.json (which would mark the fold complete forever) — the driver
+    exits, leaving the checkpoint for the restart to resume."""
+    from ich_tpu.experiments import run_supervised_2d
+
+    cfg = {
+        "exp_name": "pre", "path": {"DATA": str(tmp_path / "d"),
+                                    "OUTPUT": str(tmp_path / "o")},
+        "seed": 0, "data": {"win_center": 50, "win_width": 200, "size": 32,
+                             "augmentation": {"train": {}, "eval": {}}},
+        "dataset": {"frac_negative": 2}, "split": {"n_fold": 2, "shuffle": True},
+        "net": {"depth": 3, "top_filter": 4, "p_dropout": 0.0},
+        "train": {"loss_fn": "BinaryDiceLoss",
+                  "loss_fn_kwargs": {"reduction": "mean"},
+                  "n_epoch": 3, "batch_size": 8, "lr": 1e-3,
+                  "validate_epoch": False},
+    }
+    folds = lambda k: (synthetic_ich_slices(16, 32, 2, seed=k),
+                       synthetic_ich_slices(8, 32, 1, seed=50 + k))
+    preemption._requested.set()
+    try:
+        with pytest.raises(SystemExit):
+            run_supervised_2d(cfg, datasets_by_fold=folds)
+    finally:
+        preemption.reset()
+    fold1 = tmp_path / "o" / "pre" / "Fold_1"
+    assert not (fold1 / "outputs.json").exists()   # fold NOT marked done
+    assert (fold1 / "checkpoint.bin").exists()     # resumable
+
+    # restart completes both folds from the checkpoint
+    run_supervised_2d(cfg, datasets_by_fold=folds)
+    assert (fold1 / "outputs.json").exists()
+    assert (tmp_path / "o" / "pre" / "Fold_2" / "outputs.json").exists()
