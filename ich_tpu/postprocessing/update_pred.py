@@ -22,6 +22,35 @@ def _dice(tp, fp, fn, smooth=1.0):
     return (2 * tp + smooth) / (2 * tp + fp + fn + smooth)
 
 
+def slice_score_row(pred, target, vol_id, slice_nbr, **extra) -> dict:
+    """One per-slice confusion/Dice row (the schema shared by the AD CLIs
+    and the prediction-folder updaters; smoothed Dice per the reference's
+    ``update_pred.py:101-103``)."""
+    pred = np.asarray(pred, np.float32)
+    target = np.asarray(target, np.float32)
+    tp = float((pred * target).sum())
+    fp = float((pred * (1 - target)).sum())
+    fn = float(((1 - pred) * target).sum())
+    row = {"volID": int(vol_id), "slice": int(slice_nbr),
+           "label": int(target.max() > 0), "TP": tp, "FP": fp, "FN": fn,
+           "Dice": _dice(tp, fp, fn)}
+    row.update(extra)
+    return row
+
+
+def write_prediction_scores(rows: list, out_dir: str):
+    """Write ``slice_prediction_scores.csv`` + the volume-aggregated
+    ``volume_prediction_scores.csv``; returns (slice_df, volume_df)."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    df.to_csv(os.path.join(out_dir, "slice_prediction_scores.csv"))
+    v = df.groupby("volID").agg({"label": "max", "TP": "sum", "FP": "sum", "FN": "sum"})
+    v["Dice"] = _dice(v.TP, v.FP, v.FN)
+    v.to_csv(os.path.join(out_dir, "volume_prediction_scores.csv"))
+    return df, v
+
+
 def update_pred_folder(
     fold_dir: str,
     dataset: SliceDataset2D,
