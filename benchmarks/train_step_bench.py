@@ -153,23 +153,26 @@ def bench_sampler(patch, batch):
             "speedup": round(host_ms / max(dev_ms, 1e-9), 1)}
 
 
-def bench_gan(peak):
+def bench_gan(peak, batch=32, remat=False):
     """SN-PatchGAN combined G+D hinge step at the reference's shapes
     (256^2, batch 32, gated generator w/ contextual attention, SN patch
-    discriminator — ``SNPatchGAN_config.json``)."""
+    discriminator — ``SNPatchGAN_config.json``). ``remat=True``
+    gradient-checkpoints every gated conv + the attention (the (B, P, L)
+    similarity is the largest retained temp), unlocking batches the plain
+    step OOMs at (bs64 exceeds HBM without it, round-3 probe)."""
     import jax
     import jax.numpy as jnp
 
     from ich_tpu.models.inpainting import GatedGenerator, PatchDiscriminator
     from ich_tpu.train.gan import SNPatchGAN
 
-    g = GatedGenerator(dtype=jnp.bfloat16)
+    g = GatedGenerator(dtype=jnp.bfloat16, remat=remat)
     d = PatchDiscriminator(dtype=jnp.bfloat16)
-    tr = SNPatchGAN(g, d, n_epoch=1, batch_size=32, lr_g=1e-3, lr_d=1e-3)
+    tr = SNPatchGAN(g, d, n_epoch=1, batch_size=batch, lr_g=1e-3, lr_d=1e-3)
     tr._ensure_state((256, 256), steps_per_epoch=100)
     step = tr._make_train_step()
     rng = np.random.default_rng(0)
-    imgs = jnp.asarray(rng.uniform(size=(32, 256, 256)).astype(np.float32))
+    imgs = jnp.asarray(rng.uniform(size=(batch, 256, 256)).astype(np.float32))
     key = jax.random.PRNGKey(0)
     flops = step_flops(step, tr.state, imgs, key)
 
@@ -183,7 +186,7 @@ def bench_gan(peak):
     _ = float(losses[0])
     dt = (time.perf_counter() - t0) / n
     entry = {"ms_per_step": round(dt * 1e3, 2),
-             "images_per_s": round(32 / dt, 1)}
+             "images_per_s": round(batch / dt, 1)}
     if flops is not None:
         entry["tflops"] = round(flops / dt / 1e12, 2)
         if peak:
@@ -307,6 +310,9 @@ def main():
                  ("sampler3d_bs2_128", lambda: bench_sampler(128, 2))]
     if not args.skip_gan:
         jobs.append(("gan_bs32_256", lambda: bench_gan(peak)))
+        # remat unlocks bs64 (plain OOMs); keep bs32 as the parity config
+        jobs.append(("gan_bs64_256_remat",
+                     lambda: bench_gan(peak, batch=64, remat=True)))
     for name, fn in jobs:
         try:
             out[name] = fn()

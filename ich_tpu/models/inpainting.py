@@ -298,15 +298,27 @@ def _coarse_layers(lat, out_ch, act, norm):
     )
 
 
+def _remat(cls, remat: bool, static_argnums=(2,)):
+    """Optionally wrap a layer class in gradient checkpointing. ``nn.remat``
+    is a lifted transform — parameter paths stay identical, so remat'd and
+    plain networks share checkpoints/transfer (same convention as
+    ``unet._block_cls``). ``train`` (arg 2, counting self) is static: it
+    drives Python control flow (BatchNorm mode, spectral-norm updates)."""
+    if not remat:
+        return cls
+    return nn.remat(cls, static_argnums=static_argnums)
+
+
 class _GatedStack(nn.Module):
     specs: Tuple[tuple, ...]
     name_prefix: str = "g"
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, (f, k, s, d, p, a, bn, up) in enumerate(self.specs):
-            cls = UpsampleGatedConv2d if up else GatedConv2d
+            cls = _remat(UpsampleGatedConv2d if up else GatedConv2d, self.remat)
             x = cls(
                 features=f, kernel_size=k, stride=s, dilation=d, padding=p,
                 activation=a, batch_norm=bn, dtype=self.dtype,
@@ -326,6 +338,7 @@ class GatedGenerator(nn.Module):
     context_attention: bool = True
     return_coarse: bool = True
     context_attention_kwargs: Optional[dict] = None
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -338,26 +351,33 @@ class GatedGenerator(nn.Module):
         x = jnp.concatenate([masked, mask], axis=-1)
         coarse = _GatedStack(
             tuple(_coarse_layers(lat, self.out_channels, act, norm)),
-            name="coarse", dtype=self.dtype,
+            name="coarse", remat=self.remat, dtype=self.dtype,
         )(x, train)
         coarse_corr = coarse * mask + masked
 
         x2 = jnp.concatenate([coarse_corr, mask], axis=-1)
         enc_specs = tuple(_coarse_layers(lat, self.out_channels, act, norm)[:10])
-        feat = _GatedStack(enc_specs, name="refine_enc", dtype=self.dtype)(x2, train)
+        feat = _GatedStack(enc_specs, name="refine_enc", remat=self.remat,
+                           dtype=self.dtype)(x2, train)
 
         if self.context_attention:
             branch_specs = tuple(_coarse_layers(lat, self.out_channels, act, norm)[:6])
-            xc = _GatedStack(branch_specs, name="refine_attn_cnn1", dtype=self.dtype)(x2, train)
-            xc = ContextualAttention(
+            xc = _GatedStack(branch_specs, name="refine_attn_cnn1",
+                             remat=self.remat, dtype=self.dtype)(x2, train)
+            # checkpointing the attention drops the (B, P, L) similarity /
+            # softmax intermediates from the retained set — the largest
+            # single temporary in the refine path
+            xc = _remat(ContextualAttention, self.remat, static_argnums=())(
                 **(self.context_attention_kwargs or {}), name="ctx"
             )(xc, xc, mask=mask)
             post = tuple((4 * lat, 3, 1, 1, 1, act, norm, False) for _ in range(2))
-            xc = _GatedStack(post, name="refine_attn_cnn2", dtype=self.dtype)(xc, train)
+            xc = _GatedStack(post, name="refine_attn_cnn2", remat=self.remat,
+                             dtype=self.dtype)(xc, train)
             feat = jnp.concatenate([feat, xc], axis=-1)
 
         dec_specs = tuple(_coarse_layers(lat, self.out_channels, act, norm)[10:])
-        fine = _GatedStack(dec_specs, name="refine_dec", dtype=self.dtype)(feat, train)
+        fine = _GatedStack(dec_specs, name="refine_dec", remat=self.remat,
+                           dtype=self.dtype)(feat, train)
         if self.return_coarse:
             return fine, coarse
         return fine
@@ -373,6 +393,7 @@ class SAGatedGenerator(nn.Module):
     activation: str = "relu"
     norm: bool = True
     return_coarse: bool = True
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -384,7 +405,7 @@ class SAGatedGenerator(nn.Module):
         x = jnp.concatenate([masked, mask], axis=-1)
         coarse = _GatedStack(
             tuple(_coarse_layers(lat, self.out_channels, act, norm)),
-            name="coarse", dtype=self.dtype,
+            name="coarse", remat=self.remat, dtype=self.dtype,
         )(x, train)
         coarse_corr = coarse * mask + masked
 
@@ -393,10 +414,13 @@ class SAGatedGenerator(nn.Module):
         # dilation-16 conv; SelfAttention + ReLU sit between enc and dec,
         # and refine_dec starts with the two 4*lat convs
         enc_specs = tuple(_coarse_layers(lat, self.out_channels, act, norm)[:10])
-        feat = _GatedStack(enc_specs, name="refine_enc", dtype=self.dtype)(x2, train)
-        feat = nn.relu(SelfAttention(name="self_attention")(feat))
+        feat = _GatedStack(enc_specs, name="refine_enc", remat=self.remat,
+                           dtype=self.dtype)(x2, train)
+        feat = nn.relu(_remat(SelfAttention, self.remat, static_argnums=())(
+            name="self_attention")(feat))
         dec_specs = tuple(_coarse_layers(lat, self.out_channels, act, norm)[10:])
-        fine = _GatedStack(dec_specs, name="refine_dec", dtype=self.dtype)(feat, train)
+        fine = _GatedStack(dec_specs, name="refine_dec", remat=self.remat,
+                           dtype=self.dtype)(feat, train)
         if self.return_coarse:
             return fine, coarse
         return fine
@@ -414,6 +438,7 @@ class PatchDiscriminator(nn.Module):
     norm: bool = True
     sn: bool = True
     self_attention: bool = True
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -424,7 +449,7 @@ class PatchDiscriminator(nn.Module):
         n = len(self.out_channels)
         for i, f in enumerate(self.out_channels):
             last = i == n - 1
-            x = SNConv2d(
+            x = _remat(SNConv2d, self.remat)(
                 features=f, kernel_size=self.kernel_size,
                 stride=1 if i == 0 else self.stride,
                 padding=(self.kernel_size - 1) // 2,
@@ -449,14 +474,15 @@ NETWORKS.add(
             k: v for k, v in (context_attention_kwargs or {}).items() if k != "device"
         } or None,
         **{k: v for k, v in kw.items() if k in (
-            "activation", "norm", "context_attention", "return_coarse")},
+            "activation", "norm", "context_attention", "return_coarse", "remat")},
     ),
 )
 NETWORKS.add(
     "SAGatedGenerator",
     lambda in_channels=2, out_channels=1, lat_channels=32, device=None, **kw: SAGatedGenerator(
         out_channels=out_channels, lat_channels=lat_channels,
-        **{k: v for k, v in kw.items() if k in ("activation", "norm", "return_coarse")},
+        **{k: v for k, v in kw.items() if k in (
+            "activation", "norm", "return_coarse", "remat")},
     ),
 )
 NETWORKS.add(
@@ -464,6 +490,6 @@ NETWORKS.add(
     lambda in_channels=2, device=None, **kw: PatchDiscriminator(
         **{k: v for k, v in kw.items() if k in (
             "out_channels", "kernel_size", "stride", "activation", "norm",
-            "sn", "self_attention")},
+            "sn", "self_attention", "remat")},
     ),
 )

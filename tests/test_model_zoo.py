@@ -192,6 +192,57 @@ def test_flat_group_norm_matches_flax():
     assert np.isfinite(np.asarray(mc.apply(vc, xc))).all()
 
 
+def test_inpainting_remat_equals_plain():
+    """remat=True on the gated generator / patch discriminator is
+    numerically identical (forward + grads) and shares the parameter tree
+    with remat=False (lifted transform — checkpoints interoperate)."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(size=(2, 32, 32, 1)).astype(np.float32))
+    mask = jnp.zeros((2, 32, 32, 1)).at[:, 8:20, 10:22].set(1.0)
+
+    kw = dict(lat_channels=8, return_coarse=True)
+    plain = GatedGenerator(**kw)
+    rem = GatedGenerator(remat=True, **kw)
+    v = plain.init(KEY, img, mask)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        rem.init(KEY, img, mask))
+    for a, b in zip(plain.apply(v, img, mask), rem.apply(v, img, mask)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+    def loss_fn(mod, params):
+        fine, coarse = mod.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, img, mask)
+        return jnp.sum(fine**2) + jnp.sum(coarse**2)
+
+    g1 = jax.grad(lambda p: loss_fn(plain, p))(v["params"])
+    g2 = jax.grad(lambda p: loss_fn(rem, p))(v["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5),
+        g1, g2)
+
+    d_plain = PatchDiscriminator(out_channels=(8, 8, 8))
+    d_rem = PatchDiscriminator(out_channels=(8, 8, 8), remat=True)
+    dv = d_plain.init(KEY, img, mask)
+    assert jax.tree_util.tree_structure(dv) == jax.tree_util.tree_structure(
+        d_rem.init(KEY, img, mask))
+    # train=True exercises the static-argnum branch + mutable collections
+    o1, m1 = d_plain.apply(dv, img, mask, train=True,
+                           mutable=["batch_stats", "spectral_stats"])
+    o2, m2 = d_rem.apply(dv, img, mask, train=True,
+                         mutable=["batch_stats", "spectral_stats"])
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6, atol=1e-6)
+
+    sa_plain = SAGatedGenerator(lat_channels=8, return_coarse=False)
+    sa_rem = SAGatedGenerator(lat_channels=8, return_coarse=False, remat=True)
+    sv = sa_plain.init(KEY, img, mask)
+    assert jax.tree_util.tree_structure(sv) == jax.tree_util.tree_structure(
+        sa_rem.init(KEY, img, mask))
+    np.testing.assert_allclose(
+        np.asarray(sa_plain.apply(sv, img, mask)),
+        np.asarray(sa_rem.apply(sv, img, mask)), rtol=1e-6, atol=1e-6)
+
+
 def test_unet_remat_equals_plain():
     """remat=True is numerically identical (forward + grads) and shares
     the parameter tree with remat=False."""
