@@ -272,6 +272,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-3d", action="store_true")
     ap.add_argument("--skip-gan", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="run only jobs whose name contains this substring")
     ap.add_argument("--parts", action="store_true",
                     help="component attribution (GAN parts + 3D no-augment) "
                          "instead of the headline step table")
@@ -313,6 +315,8 @@ def main():
         # remat unlocks bs64 (plain OOMs); keep bs32 as the parity config
         jobs.append(("gan_bs64_256_remat",
                      lambda: bench_gan(peak, batch=64, remat=True)))
+    if args.only:
+        jobs = [(n, f) for n, f in jobs if args.only in n]
     for name, fn in jobs:
         try:
             out[name] = fn()
