@@ -4,7 +4,8 @@ Run on the real chip (JAX_PLATFORMS=axon, the image default):
 
     python benchmarks/pallas_conv_gate.py [--reps 10]
 
-Stage 1: standalone micro-gate at the flagship 64-cube C=16 shape —
+Stage 1: standalone micro-gate at the flagship net's qualifying conv
+shapes (64-cube 16->16 headline + the C_out=32 level-2 shapes) —
 correctness vs the XLA direct conv, then timing for both (N dispatches,
 one scalar fetch: the axon tunnel has no block_until_ready, see CLAUDE.md).
 If the kernel wins >= 1.25x, enable it in-net via
@@ -38,51 +39,70 @@ def main() -> None:
 
     from ich_tpu.ops import pallas_conv
 
-    b, d, h, w, c = args.batch, 64, 64, 64, 16
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(-1, 1, size=(b, d, h, w, c)), jnp.bfloat16)
-    wt = jnp.asarray(rng.uniform(-0.2, 0.2, size=(3, 3, 3, c, c)), jnp.bfloat16)
-    assert pallas_conv.qualifies(x.shape, wt.shape)
-
     @jax.jit
     def conv_xla(xi, wi):
         return jax.lax.conv_general_dilated(
             xi, wi, (1, 1, 1), [(1, 1)] * 3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
-    conv_pk = jax.jit(pallas_conv.conv3d_same16)
+    conv_pk = jax.jit(pallas_conv.conv3d_same)
 
-    # correctness (forces the first compile + tunnel warmup too)
-    got = conv_pk(x, wt)
-    ref = conv_xla(x, wt)
-    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))))
-    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
-    print(f"max err vs XLA bf16: {err:.4f} (ref max {scale:.2f})", flush=True)
+    # the flagship net's qualifying conv shapes (spatial, ci -> co); the
+    # first row is the headline 16->16 64-cube whose speedup is the gate
+    shapes = [
+        (64, 16, 16),   # level-1 double convs (the dominant cost)
+        (32, 32, 32),   # level-2 double convs (WTILE=4 lane tile)
+        (32, 16, 32),   # level-2 entry conv
+        (32, 96, 32),   # level-2 decoder concat conv
+    ]
+    b = args.batch
+    rng = np.random.default_rng(0)
+    results = {}
+    for sp, ci, co in shapes:
+        x = jnp.asarray(rng.uniform(-1, 1, size=(b, sp, sp, sp, ci)), jnp.bfloat16)
+        wt = jnp.asarray(rng.uniform(-0.2, 0.2, size=(3, 3, 3, ci, co)), jnp.bfloat16)
+        assert pallas_conv.qualifies(x.shape, wt.shape)
+        tag = f"{sp}^3 {ci}->{co}"
 
-    macs = b * d * h * w * 27 * c * c
+        # correctness (forces the first compile + tunnel warmup too)
+        got = conv_pk(x, wt)
+        ref = conv_xla(x, wt)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))))
+        scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+        print(f"[{tag}] max err vs XLA bf16: {err:.4f} (ref max {scale:.2f})",
+              flush=True)
 
-    def timeit(name, fn):
-        out = fn(x, wt)
-        _ = float(out.reshape(-1)[0])  # sync
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
+        macs = b * sp ** 3 * 27 * ci * co
+
+        def timeit(name, fn):
             out = fn(x, wt)
-        _ = float(out.reshape(-1)[0])  # executions are in-order; one fetch
-        dt = (time.perf_counter() - t0) / args.reps
-        tfs = 2 * macs / dt / 1e12
-        print(f"{name:16s} {dt * 1e3:8.2f} ms  {tfs:6.1f} TF/s "
-              f"({100 * tfs / TPU_PEAK_TFS:.1f}% peak)", flush=True)
-        return dt
+            _ = float(out.reshape(-1)[0])  # sync
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                out = fn(x, wt)
+            _ = float(out.reshape(-1)[0])  # executions are in-order; one fetch
+            dt = (time.perf_counter() - t0) / args.reps
+            tfs = 2 * macs / dt / 1e12
+            print(f"[{tag}] {name:12s} {dt * 1e3:8.2f} ms  {tfs:6.1f} TF/s "
+                  f"({100 * tfs / TPU_PEAK_TFS:.1f}% peak)", flush=True)
+            return dt
 
-    t_pk = timeit("pallas", conv_pk)
-    t_xla = timeit("xla direct", conv_xla)
+        t_pk = timeit("pallas", conv_pk)
+        t_xla = timeit("xla direct", conv_xla)
+        results[tag] = {"speedup": round(t_xla / t_pk, 3),
+                        "pallas_ms": round(t_pk * 1e3, 2),
+                        "xla_ms": round(t_xla * 1e3, 2),
+                        "max_abs_err": err}
+
+    head = results["64^3 16->16"]
     print(json.dumps({
         "metric": "pallas_conv_speedup_vs_xla",
-        "value": round(t_xla / t_pk, 3),
+        "value": head["speedup"],
         "unit": "x",
-        "pallas_ms": round(t_pk * 1e3, 2),
-        "xla_ms": round(t_xla * 1e3, 2),
-        "max_abs_err": err,
+        "pallas_ms": head["pallas_ms"],
+        "xla_ms": head["xla_ms"],
+        "max_abs_err": head["max_abs_err"],
+        "per_shape": results,
     }))
 
 

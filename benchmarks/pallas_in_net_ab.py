@@ -1,7 +1,7 @@
 """Stage-2 A/B for the pallas implicit-GEMM conv: full sliding-window
 inference (bench.py's flagship 64-cube workload) with ``fastconv`` packing
 "auto" (XLA direct convs) vs "pallas" (implicit-GEMM on the qualifying
-C_out=16 levels).
+C_out∈{8,16,32} levels).
 
 Run on the real chip after the stage-1 micro-gate
 (benchmarks/pallas_conv_gate.py) wins >= 1.25x:

@@ -1,4 +1,4 @@
-"""Pallas implicit-GEMM 3D conv for the lane-bound C_out=16 levels.
+"""Pallas implicit-GEMM 3D conv for the lane-bound C_out∈{8,16,32} levels.
 
 Every XLA-level lane-fill transformation for the top U-Net levels is a
 measured negative (depth-to-space / block-space round 2, grouped convs
@@ -6,20 +6,24 @@ round 3 — docs/BENCHMARKS.md): the pack/unpack always lands as separate
 HBM passes that break conv fusion. This kernel is the remaining avenue the
 round-2 verdict pointed at: fuse the packing into the conv itself.
 
-Formulation — one output plane (fixed batch b, depth d) per grid step:
+Formulation — one output plane (fixed batch b, depth d) per grid step,
+with the lane budget split between w-offsets and output channels
+(``WTILE = 128 // C_out`` w positions per lane tile):
 
-    rows   M = (h, w0)            H x W/8 output-tile rows
-    cols   K = (kd, kh, wa, ci)   3*3*10*Cin input-window taps
-    lanes  N = (dw, co)           8 w-offsets x 16 out-channels = 128
+    rows   M = (h, w0)            H x W/WTILE output-tile rows
+    cols   K = (kd, kh, wa, ci)   3*3*(WTILE+2)*Cin input-window taps
+    lanes  N = (dw, co)           WTILE w-offsets x C_out channels = 128
 
-``A[(h,w0), (kd,kh,wa,ci)] = x[b, d+kd-1, h+kh-1, 8*w0+wa-1, ci]`` is an
-im2col built in VMEM from three overlapping depth planes (reshape/concat
-only — the w-window trick: pad w by (1 left, 7 right), reshape to 8-blocks,
-a 10-wide window is block j + the first 2 columns of block j+1). The
-packed weights ``W2[K, (dw,co)] = W[kd, kh, wa-dw, ci, co]`` (zero unless
-``wa-dw`` in {0,1,2}) are 30% dense — the MXU runs 3.33x the useful MACs,
-but at the full 128-lane rate instead of C_out=16/128, a ~1.9x ceiling
-over XLA's direct conv at these shapes (measured 29.9 TF/s, round 2).
+``A[(h,w0), (kd,kh,wa,ci)] = x[b, d+kd-1, h+kh-1, WTILE*w0+wa-1, ci]`` is
+an im2col built in VMEM from three overlapping depth planes (reshape/concat
+only — the w-window trick: pad w by (1 left, WTILE-1 right), reshape to
+WTILE-blocks; a (WTILE+2)-wide window is block j + the first 2 columns of
+block j+1). The packed weights ``W2[K, (dw,co)] = W[kd, kh, wa-dw, ci, co]``
+(zero unless ``wa-dw`` in {0,1,2}) are ``3/(WTILE+2)`` dense — the MXU runs
+``(WTILE+2)/3``x the useful MACs (3.33x at C_out=16, 2x at C_out=32, 6x at
+C_out=8) but at the full 128-lane rate instead of ``C_out/128``, e.g. a
+~1.9x ceiling over XLA's direct conv at the 16->16 64-cube shape (measured
+29.9 TF/s direct, round 2).
 
 Opt-in via ``fastconv.set_packing("pallas")``; inference-only (no custom
 VJP — training paths keep the direct conv). Off-TPU the kernel runs in
@@ -36,26 +40,34 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WTILE = 8          # output w positions packed into lanes
-COUT = 16          # lane budget: 8 * 16 = 128
-WA = WTILE + 2     # input-w window per tile (3-tap kernel)
+LANES = 128        # MXU lane budget: WTILE w-offsets x C_out channels
+COUTS = (8, 16, 32)
+
+
+def _wtile(co: int) -> int:
+    return LANES // co
 
 
 def qualifies(x_shape, w_shape, itemsize: int = 2) -> bool:
-    """3D SAME stride-1 3x3x3 conv, C_out=16, W a multiple of 8, plane
-    small enough for VMEM (A-matrix + slabs <= ~8 MB). ``itemsize`` is the
-    activation dtype's byte width (the kernel computes in x's dtype, so a
-    float32 activation doubles the footprint vs the bf16 default)."""
+    """3D SAME stride-1 3x3x3 conv, C_out in {8, 16, 32}, W a multiple of
+    the lane tile (128/C_out), plane small enough for VMEM (A-matrix +
+    slabs <= ~8 MB). ``itemsize`` is the activation dtype's byte width (the
+    kernel computes in x's dtype, so a float32 activation doubles the
+    footprint vs the bf16 default)."""
     if len(x_shape) != 5 or len(w_shape) != 5:
         return False
     b, d, h, w, ci = x_shape
-    if w_shape[:3] != (3, 3, 3) or w_shape[3] != ci or w_shape[4] != COUT:
+    co = w_shape[4]
+    if w_shape[:3] != (3, 3, 3) or w_shape[3] != ci or co not in COUTS:
         return False
-    if w % WTILE or w < 2 * WTILE or h < 4:
+    wt = _wtile(co)
+    if w % wt or w < 2 * wt or h < 4:
         return False
-    k = 9 * WA * ci
-    a_bytes = (h * (w // WTILE)) * _round_up(k, 128) * itemsize
-    return ci in (1, 8, 16, 32) and a_bytes <= 8 * 2 ** 20
+    if ci != 1 and (ci % 8 or ci > 128):
+        return False
+    k = 9 * (wt + 2) * ci
+    a_bytes = (h * (w // wt)) * _round_up(k, 128) * itemsize
+    return a_bytes <= 8 * 2 ** 20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -63,37 +75,41 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pack_weights(w: jax.Array) -> jax.Array:
-    """(3, 3, 3, Ci, 16) -> (Kpad, 128) with rows (kd, kh, wa, ci)."""
-    ci = w.shape[3]
-    k = 9 * WA * ci
-    w2 = jnp.zeros((3, 3, WA, ci, WTILE, COUT), w.dtype)
-    for dw in range(WTILE):
+    """(3, 3, 3, Ci, Co) -> (Kpad, 128) with rows (kd, kh, wa, ci) and
+    lanes (dw, co)."""
+    ci, co = w.shape[3], w.shape[4]
+    wt = _wtile(co)
+    wa = wt + 2
+    k = 9 * wa * ci
+    w2 = jnp.zeros((3, 3, wa, ci, wt, co), w.dtype)
+    for dw in range(wt):
         for kw in range(3):
             w2 = w2.at[:, :, dw + kw, :, dw, :].set(w[:, :, kw])
-    w2 = w2.reshape(k, WTILE * COUT)
+    w2 = w2.reshape(k, wt * co)
     kpad = _round_up(k, 128)
     if kpad != k:
         w2 = jnp.pad(w2, ((0, kpad - k), (0, 0)))
     return w2
 
 
-def _kernel(x0, x1, x2, w2, out, *, h, w, ci):
-    nt = w // WTILE
+def _kernel(x0, x1, x2, w2, out, *, h, w, ci, co):
+    wt = _wtile(co)
+    nt = w // wt
     blocks = []
     for ref in (x0, x1, x2):
-        plane = ref[0, 0]                   # (h+2, w+8, ci)
+        plane = ref[0, 0]                   # (h+2, w+wt, ci)
         for kh in range(3):
-            y = plane[kh:kh + h]            # (h, w+8, ci)
-            t = y.reshape(h, nt + 1, WTILE, ci)
+            y = plane[kh:kh + h]            # (h, w+wt, ci)
+            t = y.reshape(h, nt + 1, wt, ci)
             a = jnp.concatenate([t[:, :nt], t[:, 1:nt + 1, :2]], axis=2)
-            blocks.append(a)                # (h, nt, 10, ci)
-    k = 9 * WA * ci
+            blocks.append(a)                # (h, nt, wt+2, ci)
+    k = 9 * (wt + 2) * ci
     A = jnp.stack(blocks, axis=2).reshape(h * nt, k)
     kpad = w2.shape[0]
     if kpad != k:
         A = jnp.pad(A, ((0, 0), (0, kpad - k)))
     o = jnp.dot(A, w2[:], preferred_element_type=jnp.float32)
-    out[0, 0] = o.reshape(h, nt, WTILE, COUT).reshape(h, w, COUT).astype(out.dtype)
+    out[0, 0] = o.reshape(h, nt, wt, co).reshape(h, w, co).astype(out.dtype)
 
 
 def _interpret() -> bool:
@@ -103,13 +119,15 @@ def _interpret() -> bool:
         return True
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _conv3d_16(x, w2, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("co", "interpret"))
+def _conv3d(x, w2, co: int, interpret: bool):
     b, d, h, w, ci = x.shape
-    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (1, WA - 3), (0, 0)])
-    kern = functools.partial(_kernel, h=h, w=w, ci=ci)
+    wt = _wtile(co)
+    wa = wt + 2
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (1, wa - 3), (0, 0)])
+    kern = functools.partial(_kernel, h=h, w=w, ci=ci, co=co)
     specs = [
-        pl.BlockSpec((1, 1, h + 2, w + WA - 2, ci),
+        pl.BlockSpec((1, 1, h + 2, w + wa - 2, ci),
                      (lambda bi, di, kd=kd: (bi, di + kd, 0, 0, 0)),
                      memory_space=pltpu.VMEM)
         for kd in range(3)
@@ -119,17 +137,21 @@ def _conv3d_16(x, w2, interpret: bool):
         grid=(b, d),
         in_specs=specs + [pl.BlockSpec(w2.shape, lambda bi, di: (0, 0),
                                        memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, h, w, COUT),
+        out_specs=pl.BlockSpec((1, 1, h, w, co),
                                lambda bi, di: (bi, di, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d, h, w, COUT), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, d, h, w, co), x.dtype),
         interpret=interpret,
     )(xp, xp, xp, w2)
 
 
-def conv3d_same16(x: jax.Array, w: jax.Array) -> jax.Array:
-    """SAME stride-1 3x3x3 conv with C_out=16 on the implicit-GEMM kernel.
-    x: (B, D, H, W, Ci); w: (3, 3, 3, Ci, 16). Output dtype follows x
-    (accumulation is f32 inside the matmul)."""
+def conv3d_same(x: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME stride-1 3x3x3 conv with C_out in {8, 16, 32} on the
+    implicit-GEMM kernel. x: (B, D, H, W, Ci); w: (3, 3, 3, Ci, Co).
+    Output dtype follows x (accumulation is f32 inside the matmul)."""
     w2 = pack_weights(w.astype(x.dtype))
-    return _conv3d_16(x, w2, _interpret())
+    return _conv3d(x, w2, int(w.shape[4]), _interpret())
+
+
+# Name kept from the C_out=16-only round-3 kernel (gate scripts, fastconv).
+conv3d_same16 = conv3d_same

@@ -1,5 +1,5 @@
 """Correctness of the implicit-GEMM pallas conv (interpret mode on CPU)
-against lax.conv_general_dilated, across the C_in shapes it accepts."""
+against lax.conv_general_dilated, across the C_in/C_out shapes it accepts."""
 
 import numpy as np
 import jax
@@ -23,15 +23,49 @@ def test_conv3d_same16_matches_xla(ci):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("ci,co", [(16, 32), (32, 32), (96, 32), (1, 8), (8, 8)])
+def test_conv3d_same_other_couts(ci, co):
+    """The generalized lane tile: WTILE = 128/C_out w-offsets per lane
+    block (C_out=32 covers the flagship net's second level incl. the
+    96-channel decoder concat; C_out=8 the most lane-starved stem)."""
+    rng = np.random.default_rng(ci * 100 + co)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(1, 4, 8, 32, ci)).astype(np.float32))
+    w = jnp.asarray((rng.uniform(-1, 1, size=(3, 3, 3, ci, co)) * 0.2).astype(np.float32))
+    assert pc.qualifies(x.shape, w.shape)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = pc.conv3d_same(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_conv3d_same_bf16():
+    """bf16 activations/weights (the serving dtype) stay on the kernel path
+    and match the XLA conv at bf16 tolerance."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(1, 4, 8, 16, 16)), jnp.bfloat16)
+    w = jnp.asarray(rng.uniform(-0.2, 0.2, size=(3, 3, 3, 16, 16)), jnp.bfloat16)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = pc.conv3d_same(x, w)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), rtol=0.05, atol=0.05)
+
+
 def test_qualifies_gates():
     ok = (2, 5, 8, 16, 16)
     wk = (3, 3, 3, 16, 16)
     assert pc.qualifies(ok, wk)
-    assert not pc.qualifies((2, 5, 8, 12, 16), wk)       # W % 8 != 0
-    assert not pc.qualifies(ok, (3, 3, 3, 16, 32))       # C_out != 16
+    assert not pc.qualifies((2, 5, 8, 12, 16), wk)       # W % WTILE != 0
+    assert pc.qualifies(ok, (3, 3, 3, 16, 32))           # C_out=32: WTILE=4
+    assert not pc.qualifies(ok, (3, 3, 3, 16, 64))       # C_out=64 unsupported
     assert not pc.qualifies(ok, (5, 3, 3, 16, 16))       # kernel != 3^3
-    assert not pc.qualifies((2, 5, 8, 16, 64), (3, 3, 3, 64, 16))  # ci not in set
+    assert not pc.qualifies((2, 5, 8, 16, 12), (3, 3, 3, 12, 16))  # ci % 8
+    assert pc.qualifies((2, 5, 8, 16, 64), (3, 3, 3, 64, 16))      # wide ci ok
     assert not pc.qualifies((2, 256, 256, 512, 16), (3, 3, 3, 16, 16))  # VMEM
+    assert not pc.qualifies((2, 5, 8, 4, 8), (3, 3, 3, 8, 32))     # W < 2*WTILE
 
 
 @pytest.mark.slow  # interpret-mode UNet forward ~90 s on CPU
