@@ -20,9 +20,68 @@ import time
 import numpy as np
 
 
+def train_ab(reps: int) -> None:
+    """3D train-step A/B (bs8 64^3, the BENCHMARKS.md parity config): the
+    custom VJP routes the input grads through the kernel too, so "pallas"
+    now covers the training path. Separate from the inference A/B because
+    the step includes augmentation + loss + optimizer."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ich_tpu.models import UNet
+    from ich_tpu.ops import fastconv
+    from ich_tpu.train import UNet3D
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(8, 64, 64, 64)).astype(np.float32))
+    msks = jnp.asarray((rng.uniform(size=(8, 64, 64, 64)) > 0.995).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    results = {}
+    for mode in ("auto", "pallas"):
+        fastconv.set_packing(mode)
+        try:
+            # identical to train_step_bench.bench_3d(64, 8, aug=True) so the
+            # "auto" arm reproduces the BENCHMARKS.md 78.8 ms row
+            from ich_tpu.ops.transforms3d import default_patch_augmentation
+
+            net = UNet(depth=4, ndim=3, top_filter=16, midchannels_factor=1,
+                       p_dropout=0.0, norm="group", dtype=jnp.bfloat16)
+            tr = UNet3D(net, patch_size=(64,) * 3, n_epoch=1, batch_size=8,
+                        lr=1e-3, loss_fn="BinaryDiceLoss",
+                        loss_fn_kwargs={"reduction": "mean"},
+                        augment_fn=default_patch_augmentation())
+            tr._ensure_state((64,) * 3, steps_per_epoch=100)
+            step = tr._make_train_step()
+            st, loss = step(tr.state, imgs, msks, key)
+            _ = float(loss)
+            t0 = time.perf_counter()
+            for i in range(reps):
+                st, loss = step(st, imgs, msks, jax.random.fold_in(key, i))
+            _ = float(loss)
+            dt = (time.perf_counter() - t0) / reps
+            results[mode] = dt
+            print(f"train {mode:8s} {dt * 1e3:8.1f} ms/step", flush=True)
+        except Exception as e:  # pragma: no cover - hardware probe
+            print(f"train {mode:8s} FAILED: {type(e).__name__}: {e}", flush=True)
+        finally:
+            fastconv.set_packing("auto")
+    if len(results) == 2:
+        print(json.dumps({
+            "metric": "pallas_train_step_speedup",
+            "value": round(results["auto"] / results["pallas"], 3),
+            "unit": "x",
+            "auto_ms": round(results["auto"] * 1e3, 1),
+            "pallas_ms": round(results["pallas"] * 1e3, 1),
+        }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--train", action="store_true",
+                    help="A/B the 3D train step instead of sliding-window inference")
     args = ap.parse_args()
 
     import jax
@@ -31,6 +90,10 @@ def main() -> None:
     plat = jax.devices()[0].platform
     if plat not in ("tpu", "axon"):
         raise SystemExit(f"A/B must run on the chip (got platform={plat!r})")
+
+    if args.train:
+        train_ab(args.reps)
+        return
 
     from ich_tpu.models import UNet
     from ich_tpu.ops import ct, fastconv

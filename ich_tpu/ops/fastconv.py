@@ -42,7 +42,8 @@ _MODE = "auto"
 def set_packing(mode: str) -> None:
     """"auto"/"off": direct conv; "on": depth-to-space lane packing;
     "pallas": the implicit-GEMM kernel for qualifying C_out∈{8,16,32} 3D
-    convs (:mod:`ich_tpu.ops.pallas_conv` — inference-only, no custom VJP)."""
+    convs (:mod:`ich_tpu.ops.pallas_conv`; differentiable — the custom VJP
+    routes the input grad through the kernel as well)."""
     global _MODE
     if mode not in ("auto", "on", "off", "pallas"):
         raise ValueError(f"unknown packing mode {mode!r}")

@@ -25,9 +25,11 @@ C_out=8) but at the full 128-lane rate instead of ``C_out/128``, e.g. a
 ~1.9x ceiling over XLA's direct conv at the 16->16 64-cube shape (measured
 29.9 TF/s direct, round 2).
 
-Opt-in via ``fastconv.set_packing("pallas")``; inference-only (no custom
-VJP — training paths keep the direct conv). Off-TPU the kernel runs in
-interpret mode (tests); the TPU perf gate lives in docs/BENCHMARKS.md.
+Opt-in via ``fastconv.set_packing("pallas")``. Differentiable via a custom
+VJP (the input grad is itself a qualifying SAME conv and rides the kernel;
+the weight grad keeps XLA's formulation), so the mode also covers training
+steps. Off-TPU the kernel runs in interpret mode (tests); the TPU perf
+gate lives in docs/BENCHMARKS.md.
 """
 
 from __future__ import annotations
@@ -145,13 +147,49 @@ def _conv3d(x, w2, co: int, interpret: bool):
     )(xp, xp, xp, w2)
 
 
-def conv3d_same(x: jax.Array, w: jax.Array) -> jax.Array:
-    """SAME stride-1 3x3x3 conv with C_out in {8, 16, 32} on the
-    implicit-GEMM kernel. x: (B, D, H, W, Ci); w: (3, 3, 3, Ci, Co).
-    Output dtype follows x (accumulation is f32 inside the matmul)."""
+def _conv3d_same_impl(x: jax.Array, w: jax.Array) -> jax.Array:
     w2 = pack_weights(w.astype(x.dtype))
     return _conv3d(x, w2, int(w.shape[4]), _interpret())
 
+
+def _direct(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+@jax.custom_vjp
+def conv3d_same(x: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME stride-1 3x3x3 conv with C_out in {8, 16, 32} on the
+    implicit-GEMM kernel. x: (B, D, H, W, Ci); w: (3, 3, 3, Ci, Co).
+    Output dtype follows x (accumulation is f32 inside the matmul).
+
+    Differentiable: the input grad of a SAME stride-1 conv is itself a
+    SAME stride-1 conv of the cotangent with rot-180, channel-swapped
+    weights — a (Co -> Ci) conv that rides the kernel too when its shape
+    qualifies. The weight grad keeps XLA's own formulation (a large
+    batch-contraction the MXU already runs at full rate)."""
+    return _conv3d_same_impl(x, w)
+
+
+def _conv3d_same_fwd(x, w):
+    return _conv3d_same_impl(x, w), (x, w)
+
+
+def _conv3d_same_bwd(res, dy):
+    x, w = res
+    w_t = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4).astype(dy.dtype)
+    if qualifies(dy.shape, w_t.shape, dy.dtype.itemsize):
+        dx = _conv3d_same_impl(dy, w_t)
+    else:
+        dx = _direct(dy, w_t)
+    dx = dx.astype(x.dtype)
+    _, w_vjp = jax.vjp(lambda wi: _direct(x, wi.astype(x.dtype)), w)
+    (dw,) = w_vjp(dy.astype(x.dtype))
+    return dx, dw
+
+
+conv3d_same.defvjp(_conv3d_same_fwd, _conv3d_same_bwd)
 
 # Name kept from the C_out=16-only round-3 kernel (gate scripts, fastconv).
 conv3d_same16 = conv3d_same

@@ -68,6 +68,32 @@ def test_qualifies_gates():
     assert not pc.qualifies((2, 5, 8, 4, 8), (3, 3, 3, 8, 32))     # W < 2*WTILE
 
 
+@pytest.mark.parametrize("ci,co", [(16, 16), (16, 32)])
+def test_conv3d_same_custom_vjp_matches_autodiff(ci, co):
+    """grad through the kernel (custom VJP: input grad = rot-180
+    channel-swapped SAME conv, weight grad = XLA's formulation) equals
+    autodiff through the direct conv."""
+    rng = np.random.default_rng(co)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(1, 4, 8, 16, ci)).astype(np.float32))
+    w = jnp.asarray((rng.uniform(-1, 1, size=(3, 3, 3, ci, co)) * 0.2).astype(np.float32))
+
+    def ref_loss(xi, wi):
+        y = jax.lax.conv_general_dilated(
+            xi, wi, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return jnp.sum(y ** 2)
+
+    def pk_loss(xi, wi):
+        return jnp.sum(pc.conv3d_same(xi, wi) ** 2)
+
+    gx_ref, gw_ref = jax.grad(ref_loss, argnums=(0, 1))(x, w)
+    gx_pk, gw_pk = jax.grad(pk_loss, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_pk), np.asarray(gx_ref),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_pk), np.asarray(gw_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
 @pytest.mark.slow  # interpret-mode UNet forward ~90 s on CPU
 def test_pallas_mode_in_unet_forward():
     """set_packing("pallas") routes qualifying convs inside the 3D U-Net;
