@@ -18,7 +18,10 @@ with the lane budget split between w-offsets and output channels
 an im2col built in VMEM from three overlapping depth planes (reshape/concat
 only — the w-window trick: pad w by (1 left, WTILE-1 right), reshape to
 WTILE-blocks; a (WTILE+2)-wide window is block j + the first 2 columns of
-block j+1). The packed weights ``W2[K, (dw,co)] = W[kd, kh, wa-dw, ci, co]``
+block j+1). Planes are moved with the (W, C) axes fused into one wide
+lane-dense minor dimension — a bare C=8/16/32 minor axis would be padded
+to 128 lanes in VMEM/HBM (8-16x DMA inflation); the window algebra is
+unchanged because the fused windows stay contiguous. The packed weights ``W2[K, (dw,co)] = W[kd, kh, wa-dw, ci, co]``
 (zero unless ``wa-dw`` in {0,1,2}) are ``3/(WTILE+2)`` dense — the MXU runs
 ``(WTILE+2)/3``x the useful MACs (3.33x at C_out=16, 2x at C_out=32, 6x at
 C_out=8) but at the full 128-lane rate instead of ``C_out/128``, e.g. a
@@ -95,23 +98,31 @@ def pack_weights(w: jax.Array) -> jax.Array:
 
 
 def _kernel(x0, x1, x2, w2, out, *, h, w, ci, co):
+    # Planes arrive flattened to (h+2, (w+wt)*ci): the (W, C) axes are fused
+    # so the lane (minor) dimension is wide and dense — a bare C=8/16/32
+    # minor axis would be padded to 128 lanes in VMEM/HBM (8-16x inflation
+    # on every overlapping plane fetch). The im2col windows survive the
+    # fusion: a (wt+2)-wide w-window is the contiguous column range
+    # [j*wt*ci, (j*wt + wt+2)*ci) = block j + the first 2*ci columns of
+    # block j+1.
     wt = _wtile(co)
     nt = w // wt
     blocks = []
     for ref in (x0, x1, x2):
-        plane = ref[0, 0]                   # (h+2, w+wt, ci)
+        plane = ref[0, 0]                   # (h+2, (w+wt)*ci)
         for kh in range(3):
-            y = plane[kh:kh + h]            # (h, w+wt, ci)
-            t = y.reshape(h, nt + 1, wt, ci)
-            a = jnp.concatenate([t[:, :nt], t[:, 1:nt + 1, :2]], axis=2)
-            blocks.append(a)                # (h, nt, wt+2, ci)
+            y = plane[kh:kh + h]            # (h, (w+wt)*ci)
+            t = y.reshape(h, nt + 1, wt * ci)
+            a = jnp.concatenate([t[:, :nt], t[:, 1:nt + 1, : 2 * ci]], axis=2)
+            blocks.append(a)                # (h, nt, (wt+2)*ci)
     k = 9 * (wt + 2) * ci
     A = jnp.stack(blocks, axis=2).reshape(h * nt, k)
     kpad = w2.shape[0]
     if kpad != k:
         A = jnp.pad(A, ((0, 0), (0, kpad - k)))
     o = jnp.dot(A, w2[:], preferred_element_type=jnp.float32)
-    out[0, 0] = o.reshape(h, nt, wt, co).reshape(h, w, co).astype(out.dtype)
+    # rows (h, nt), lanes (wt, co) -> (h, w*co) w-major co-minor
+    out[0, 0] = o.reshape(h, nt * wt * co).astype(out.dtype)
 
 
 def _interpret() -> bool:
@@ -127,24 +138,27 @@ def _conv3d(x, w2, co: int, interpret: bool):
     wt = _wtile(co)
     wa = wt + 2
     xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (1, wa - 3), (0, 0)])
+    # fuse (W, C) so blocks move lane-dense (see _kernel)
+    xp = xp.reshape(b, d + 2, h + 2, (w + wt) * ci)
     kern = functools.partial(_kernel, h=h, w=w, ci=ci, co=co)
     specs = [
-        pl.BlockSpec((1, 1, h + 2, w + wa - 2, ci),
-                     (lambda bi, di, kd=kd: (bi, di + kd, 0, 0, 0)),
+        pl.BlockSpec((1, 1, h + 2, (w + wt) * ci),
+                     (lambda bi, di, kd=kd: (bi, di + kd, 0, 0)),
                      memory_space=pltpu.VMEM)
         for kd in range(3)
     ]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(b, d),
         in_specs=specs + [pl.BlockSpec(w2.shape, lambda bi, di: (0, 0),
                                        memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, h, w, co),
-                               lambda bi, di: (bi, di, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, h, w * co),
+                               lambda bi, di: (bi, di, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d, h, w, co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, d, h, w * co), x.dtype),
         interpret=interpret,
     )(xp, xp, xp, w2)
+    return out.reshape(b, d, h, w, co)
 
 
 def _conv3d_same_impl(x: jax.Array, w: jax.Array) -> jax.Array:
