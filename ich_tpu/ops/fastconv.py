@@ -50,6 +50,16 @@ def set_packing(mode: str) -> None:
     _MODE = mode
 
 
+def packing_key() -> str:
+    """The current packing mode, for use as a cache-key component.
+    ``conv_same`` reads the mode at *trace* time, so any code that memoizes
+    jitted programs containing convs (sliding-window inference, the
+    trainers' whole-volume programs) must include this in its cache key —
+    otherwise a ``set_packing`` change silently reuses the stale
+    executable."""
+    return _MODE
+
+
 def packing_active() -> bool:
     # "auto" resolves to OFF: isolated-conv wins (1.2-1.6x on the gated
     # shapes, docs/BENCHMARKS.md) do NOT survive in-net on v5e — the

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ich_tpu.ops import fastconv
+
 
 def _gaussian_importance_np(
     patch_size: Sequence[int], sigma_scale: float = 1.0 / 8.0
@@ -76,7 +78,8 @@ def make_patch_coords(
 
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "patch_size", "batch_size", "n_coords_static"),
+    static_argnames=(
+        "apply_fn", "patch_size", "batch_size", "n_coords_static", "packing"),
 )
 def _sliding_window_jit(
     variables,
@@ -87,6 +90,7 @@ def _sliding_window_jit(
     patch_size: Tuple[int, int, int],
     batch_size: int,
     n_coords_static: int,
+    packing: str = "auto",  # cache-key only: fastconv mode is read at trace
 ):
     pd, ph, pw = patch_size
     gmap = gaussian_importance_map(patch_size)[..., None]  # (pd,ph,pw,1)
@@ -167,7 +171,8 @@ def _coset_weight_canvas(
     return (1.0 / np.maximum(wacc, 1e-12)).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "patch_size", "stride", "batch_size"))
+@partial(jax.jit, static_argnames=(
+    "apply_fn", "patch_size", "stride", "batch_size", "packing"))
 def _sliding_window_coset_jit(
     variables,
     volume,  # (D', H', W', C) padded so (dim - patch) % stride == 0
@@ -175,6 +180,7 @@ def _sliding_window_coset_jit(
     patch_size: Tuple[int, int, int],
     stride: Tuple[int, int, int],
     batch_size: int,
+    packing: str = "auto",  # cache-key only: fastconv mode is read at trace
 ):
     """Regular-grid fast path: when the stride divides the patch size, the
     patch grid decomposes into k^3 *cosets* of mutually non-overlapping
@@ -326,7 +332,8 @@ def sliding_window_inference(
         if any(pads):
             volume = jnp.pad(volume, [(0, pads[0]), (0, pads[1]), (0, pads[2]), (0, 0)])
         out = _sliding_window_coset_jit(
-            variables, volume, apply_fn, patch_size, strides, batch_size
+            variables, volume, apply_fn, patch_size, strides, batch_size,
+            packing=fastconv.packing_key(),
         )
         return out[:d, :h, :w]
     # pad volume up to patch size
@@ -352,6 +359,7 @@ def sliding_window_inference(
         patch_size,
         batch_size,
         n_pad,
+        packing=fastconv.packing_key(),
     )
     out = out[:d, :h, :w]
     return out

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ich_tpu.ops import fastconv
 from ich_tpu.ops.sliding_window import _sliding_window_coset_jit
 
 # compiled volume-parallel programs, keyed by (mesh, axis, round shape,
@@ -177,16 +178,18 @@ def sliding_window_inference_sharded(
         ext_h2 = pad_to_grid(ext_h, ph, sh)
         ext = jnp.pad(ext, [(0, 0), (0, ext_h2 - ext_h), (0, 0), (0, 0)])
         out = _sliding_window_coset_jit(
-            variables, ext, apply_fn, patch_size, strides, batch_size
+            variables, ext, apply_fn, patch_size, strides, batch_size,
+            packing=fastconv.packing_key(),
         )
         return out[:, halo : halo + slab]
 
     from jax import shard_map
 
     # memoize the jitted shard_map program: a fresh closure per call would
-    # re-trace every invocation (the serving path calls this per request)
+    # re-trace every invocation (the serving path calls this per request);
+    # keyed by the fastconv packing mode (read at trace time) too
     key = (mesh, axis_name, (d2, h2, w2, c), str(volume.dtype),
-           patch_size, strides, batch_size)
+           patch_size, strides, batch_size, fastconv.packing_key())
     hit = _VP_CACHE.get(key)
     if hit is not None and hit[0] is apply_fn:
         fn = hit[1]
@@ -243,7 +246,8 @@ def sliding_window_inference_volume_parallel(
     vol_list = [np.asarray(v) for v in volumes]
     outs = list(volume_parallel_map(
         body, variables, vol_list, mesh, axis_name=axis_name,
-        cache_key=("sw_vp", tuple(patch_size), overlap, batch_size),
+        cache_key=("sw_vp", tuple(patch_size), overlap, batch_size,
+                   fastconv.packing_key()),
         guard=apply_fn,
     ))
     return np.stack(outs)

@@ -139,3 +139,34 @@ def test_auto_batch_resolution():
         assert out.shape == (8, 24, 24, 1)
         np.testing.assert_allclose(np.asarray(out),
                                    np.asarray(vol)[..., None] * 0.5, atol=1e-5)
+
+
+def test_packing_mode_change_retraces():
+    """set_packing between calls must re-trace the memoized sliding-window
+    program (conv_same reads the mode at trace time — a stale cache hit
+    would silently keep the old conv path; the A/B benchmarks and any
+    long-running server toggling modes depend on this)."""
+    from ich_tpu.ops import fastconv
+
+    vol = jnp.asarray(
+        np.random.default_rng(5).uniform(size=(8, 20, 28)).astype(np.float32))
+    traced = []
+
+    def apply_fn(v, x):
+        traced.append(fastconv.packing_key())
+        return x.astype(jnp.float32) * 2.0
+
+    kw = dict(patch_size=(8, 16, 16), overlap=0.5, batch_size=2)
+    a = sliding_window_inference(apply_fn, {}, vol, **kw)
+    n1 = len(traced)
+    assert n1 > 0 and set(traced) == {"auto"}
+    a2 = sliding_window_inference(apply_fn, {}, vol, **kw)  # cache hit
+    assert len(traced) == n1, "same mode + shape must not re-trace"
+    fastconv.set_packing("pallas")
+    try:
+        b = sliding_window_inference(apply_fn, {}, vol, **kw)
+    finally:
+        fastconv.set_packing("auto")
+    assert len(traced) > n1 and set(traced[n1:]) == {"pallas"}, traced
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a2), atol=0)
