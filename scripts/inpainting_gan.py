@@ -37,7 +37,10 @@ def main(config_path):
 
     n = cfg["net"]
     gen_cls = SAGatedGenerator if n.get("self_attention", True) else GatedGenerator
-    g = gen_cls(lat_channels=n.get("lat_channels", 32), return_coarse=True)
+    # remat=true gradient-checkpoints the gated convs + attention: same
+    # numerics/checkpoints, unlocks batches the plain step OOMs at (bs64)
+    g = gen_cls(lat_channels=n.get("lat_channels", 32), return_coarse=True,
+                remat=bool(n.get("remat", False)))
     d = PatchDiscriminator(out_channels=tuple(n.get("disc_channels", (64, 128, 256, 256, 256, 256))))
     tr = cfg["train"]
     gan = SNPatchGAN(
