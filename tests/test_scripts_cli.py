@@ -367,3 +367,44 @@ def test_figures_explore_without_metadata_columns(tmp_path):
     assert r.exit_code == 0, r.output
     assert not os.path.exists(os.path.join(out_dir, "metadata_stat.pdf"))
     assert os.path.getsize(os.path.join(out_dir, f"{pid}_CT.gif")) > 1000
+
+
+def test_inpainting_gan_cli_end_to_end(tmp_path):
+    """Full inpainting-GAN training driver on a tiny synthetic RSNA
+    fixture, incl. the net.remat config flag (reference
+    ``scripts/inpainting/SNPatchGAN_scripts.py`` flow)."""
+    import data_preparation
+    import inpainting_gan
+
+    from ich_tpu.data.synthetic import write_rsna_tree
+
+    write_rsna_tree(str(tmp_path / "rsna"), n_slices=10, size=32, seed=0)
+    data_dir = str(tmp_path / "rsna" / "stage_2_train")
+    r = CliRunner().invoke(
+        data_preparation.cli,
+        ["gen-rsna-csv", "--label-csv", str(tmp_path / "rsna" / "stage_2_train.csv"),
+         "--out-csv", os.path.join(data_dir, "slice_info.csv")],
+    )
+    assert r.exit_code == 0, r.output
+
+    cfg = {
+        "exp_name": "gan_cli", "seed": 1,
+        "path": {"RSNA_DATA": data_dir, "OUTPUT": str(tmp_path / "out")},
+        "data": {"win_center": 50, "win_width": 200, "size": 32},
+        "dataset": {"n_max": 8},
+        "net": {"self_attention": False, "lat_channels": 4, "remat": True,
+                "disc_channels": [8, 8, 8]},
+        "mask": {"n_draw": [1, 2], "vertex": [2, 4], "brush_width": [2, 4],
+                 "length": [3, 8], "n_salt_pepper": [0, 3]},
+        "train": {"n_epoch": 1, "batch_size": 4, "checkpoint_freq": 1},
+    }
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    r = CliRunner().invoke(inpainting_gan.main, [cfg_path])
+    assert r.exit_code == 0, r.output
+    out_dir = tmp_path / "out" / "gan_cli"
+    for fn in ("checkpoint.bin", "snpatchgan.bin", "outputs.json"):
+        assert (out_dir / fn).exists(), fn
+    outputs = json.load(open(out_dir / "outputs.json"))
+    assert outputs["train"]["time"]
