@@ -25,8 +25,6 @@ def train_ab(reps: int) -> None:
     custom VJP routes the input grads through the kernel too, so "pallas"
     now covers the training path. Separate from the inference A/B because
     the step includes augmentation + loss + optimizer."""
-    import time
-
     import jax
     import jax.numpy as jnp
 

@@ -90,7 +90,9 @@ def _sliding_window_jit(
     patch_size: Tuple[int, int, int],
     batch_size: int,
     n_coords_static: int,
-    packing: str = "auto",  # cache-key only: fastconv mode is read at trace
+    # cache-key only (fastconv mode is read at trace time); REQUIRED so a
+    # forgotten call site is a TypeError, not a silent stale-program hit
+    packing: str,
 ):
     pd, ph, pw = patch_size
     gmap = gaussian_importance_map(patch_size)[..., None]  # (pd,ph,pw,1)
@@ -180,7 +182,9 @@ def _sliding_window_coset_jit(
     patch_size: Tuple[int, int, int],
     stride: Tuple[int, int, int],
     batch_size: int,
-    packing: str = "auto",  # cache-key only: fastconv mode is read at trace
+    # cache-key only (fastconv mode is read at trace time); REQUIRED so a
+    # forgotten call site is a TypeError, not a silent stale-program hit
+    packing: str,
 ):
     """Regular-grid fast path: when the stride divides the patch size, the
     patch grid decomposes into k^3 *cosets* of mutually non-overlapping

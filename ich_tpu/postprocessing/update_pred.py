@@ -40,10 +40,13 @@ def slice_score_row(pred, target, vol_id, slice_nbr, **extra) -> dict:
 
 def write_prediction_scores(rows: list, out_dir: str):
     """Write ``slice_prediction_scores.csv`` + the volume-aggregated
-    ``volume_prediction_scores.csv``; returns (slice_df, volume_df)."""
+    ``volume_prediction_scores.csv``; returns (slice_df, volume_df).
+    An empty ``rows`` (every slice skipped/filtered) writes header-only
+    CSVs instead of crashing on the missing groupby column."""
     import pandas as pd
 
-    df = pd.DataFrame(rows)
+    cols = ["volID", "slice", "label", "TP", "FP", "FN", "Dice"]
+    df = pd.DataFrame(rows, columns=cols if not rows else None)
     df.to_csv(os.path.join(out_dir, "slice_prediction_scores.csv"))
     v = df.groupby("volID").agg({"label": "max", "TP": "sum", "FP": "sum", "FN": "sum"})
     v["Dice"] = _dice(v.TP, v.FP, v.FN)
@@ -161,9 +164,7 @@ def update_anomaly_pred_folder(
     zero heatmaps outside the brain and recompute slice/volume Dice CSVs
     from thresholded maps. ``heatmap_loader(i)`` returns the float map for
     dataset row i; defaults to reading ``{vol}/{slice}.npy``."""
-    import pandas as pd
-
-    rows = {k: [] for k in ["volID", "slice", "label", "TP", "FP", "FN", "Dice"]}
+    rows = []
     for i in range(len(dataset)):
         vid, snb = int(dataset.vol_ids[i]), int(dataset.slice_nbrs[i])
         if heatmap_loader is not None:
@@ -176,26 +177,9 @@ def update_anomaly_pred_folder(
         heat = heat * (brain_masks[i] > 0)
         pred = (heat >= 0.5).astype(np.float32)
         target = (dataset.masks[i] > 0).astype(np.float32)
-        tp = float((pred * target).sum())
-        fp = float((pred * (1 - target)).sum())
-        fnn = float(((1 - pred) * target).sum())
-        rows["volID"].append(vid)
-        rows["slice"].append(snb)
-        rows["label"].append(int(target.max() > 0))
-        rows["TP"].append(tp)
-        rows["FP"].append(fp)
-        rows["FN"].append(fnn)
-        rows["Dice"].append(_dice(tp, fp, fnn))
-    df = pd.DataFrame(rows)
-    df.to_csv(os.path.join(pred_dir, "slice_prediction_scores.csv"))
+        rows.append(slice_score_row(pred, target, vid, snb))
     # the reference writes BOTH CSVs (update_pred.py:284-285): without the
     # volume one, a stale pre-mask volume_prediction_scores.csv would feed
     # the k-fold aggregation
-    df3d = (
-        df[["volID", "label", "TP", "FP", "FN"]]
-        .groupby("volID")
-        .agg({"label": "max", "TP": "sum", "FP": "sum", "FN": "sum"})
-    )
-    df3d["Dice"] = _dice(df3d.TP, df3d.FP, df3d.FN)
-    df3d.to_csv(os.path.join(pred_dir, "volume_prediction_scores.csv"))
+    df, _ = write_prediction_scores(rows, pred_dir)
     return df

@@ -329,3 +329,53 @@ def test_update_pred_folder_matches_reference(tmp_path):
         a = np.asarray(Image.open(new_dir / f"{vid}" / f"{snb}.bmp"))
         b = np.asarray(Image.open(fold / "pred" / f"{vid}" / f"{snb}.bmp"))
         np.testing.assert_array_equal(a > 0, b > 0)
+
+
+def test_write_prediction_scores_empty_rows(tmp_path):
+    """No scored slices (all filtered) writes header-only CSVs, no crash."""
+    from ich_tpu.postprocessing.update_pred import write_prediction_scores
+
+    df, v = write_prediction_scores([], str(tmp_path))
+    assert len(df) == 0 and len(v) == 0
+    assert (tmp_path / "slice_prediction_scores.csv").exists()
+    assert (tmp_path / "volume_prediction_scores.csv").exists()
+
+
+def test_update_anomaly_pred_folder(tmp_path):
+    """Brain-mask zeroing + threshold + both CSVs (reference
+    ``update_pred.py:187`` semantics), incl. missing-heatmap skip."""
+    import pandas as pd
+
+    from ich_tpu.data.core import SliceDataset2D
+    from ich_tpu.postprocessing.update_pred import update_anomaly_pred_folder
+
+    rng = np.random.default_rng(0)
+    n, s = 4, 16
+    images = rng.uniform(size=(n, s, s)).astype(np.float32)
+    masks = np.zeros((n, s, s), np.float32)
+    masks[0, 2:6, 2:6] = 1  # one positive slice
+    ds = SliceDataset2D(images, masks, [1, 1, 2, 2], [0, 1, 0, 1])
+    brain = np.zeros((n, s, s), np.float32)
+    brain[:, 4:12, 4:12] = 1
+
+    heat = rng.uniform(0.4, 1.0, size=(n, s, s)).astype(np.float32)
+    for i in range(n - 1):  # last slice has NO saved heatmap -> skipped
+        vid, snb = int(ds.vol_ids[i]), int(ds.slice_nbrs[i])
+        os.makedirs(tmp_path / f"{vid}", exist_ok=True)
+        np.save(tmp_path / f"{vid}" / f"{snb}.npy", heat[i])
+
+    df = update_anomaly_pred_folder(str(tmp_path), ds, brain)
+    assert len(df) == n - 1  # missing heatmap skipped
+    sl = pd.read_csv(tmp_path / "slice_prediction_scores.csv", index_col=0)
+    vl = pd.read_csv(tmp_path / "volume_prediction_scores.csv", index_col=0)
+    assert list(sl.columns) == ["volID", "slice", "label", "TP", "FP", "FN", "Dice"]
+    assert set(vl.index) == {1, 2}
+    # hand-check row 0: pred = (heat * brain >= .5), smoothed Dice
+    pred = ((heat[0] * brain[0]) >= 0.5).astype(np.float32)
+    t = masks[0]
+    tp = float((pred * t).sum()); fp = float((pred * (1 - t)).sum())
+    fn = float(((1 - pred) * t).sum())
+    row = sl.iloc[0]
+    assert (row.TP, row.FP, row.FN) == (tp, fp, fn)
+    assert abs(row.Dice - (2 * tp + 1) / (2 * tp + fp + fn + 1)) < 1e-9
+    assert int(row.label) == 1
