@@ -45,34 +45,51 @@ def main() -> None:
             xi, wi, (1, 1, 1), [(1, 1)] * 3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
-    conv_pk = jax.jit(pallas_conv.conv3d_same)
+    @jax.jit
+    def conv_xla2d(xi, wi):
+        return jax.lax.conv_general_dilated(
+            xi, wi, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    # the flagship net's qualifying conv shapes (spatial, ci -> co); the
-    # first row is the headline 16->16 64-cube whose speedup is the gate
+    conv_pk = jax.jit(pallas_conv.conv3d_same)
+    conv_pk2d = jax.jit(pallas_conv.conv2d_same)
+
+    # the flagship nets' qualifying conv shapes (ndim, batch, spatial,
+    # ci -> co); the first row is the headline 16->16 64-cube whose speedup
+    # is the gate. 2D rows are the supervised flagship's 256^2 top level.
     shapes = [
-        (64, 16, 16),   # level-1 double convs (the dominant cost)
-        (32, 32, 32),   # level-2 double convs (WTILE=4 lane tile)
-        (32, 16, 32),   # level-2 entry conv
-        (32, 96, 32),   # level-2 decoder concat conv
+        (3, args.batch, 64, 16, 16),   # level-1 double convs (dominant cost)
+        (3, args.batch, 32, 32, 32),   # level-2 double convs (WTILE=4)
+        (3, args.batch, 32, 16, 32),   # level-2 entry conv
+        (3, args.batch, 32, 96, 32),   # level-2 decoder concat conv
+        (2, 16, 256, 32, 32),          # 2D flagship top level (bs16 256^2)
+        (2, 16, 256, 1, 32),           # 2D stem conv
+        (2, 16, 256, 64, 32),          # 2D decoder concat conv
     ]
-    b = args.batch
     rng = np.random.default_rng(0)
     results = {}
-    for sp, ci, co in shapes:
-        x = jnp.asarray(rng.uniform(-1, 1, size=(b, sp, sp, sp, ci)), jnp.bfloat16)
-        wt = jnp.asarray(rng.uniform(-0.2, 0.2, size=(3, 3, 3, ci, co)), jnp.bfloat16)
-        assert pallas_conv.qualifies(x.shape, wt.shape)
-        tag = f"{sp}^3 {ci}->{co}"
+    for nd, b, sp, ci, co in shapes:
+        xs = (b,) + (sp,) * nd + (ci,)
+        ws = (3,) * nd + (ci, co)
+        x = jnp.asarray(rng.uniform(-1, 1, size=xs), jnp.bfloat16)
+        wt = jnp.asarray(rng.uniform(-0.2, 0.2, size=ws), jnp.bfloat16)
+        if nd == 3:
+            assert pallas_conv.qualifies(x.shape, wt.shape)
+            pk, ref_fn = conv_pk, conv_xla
+        else:
+            assert pallas_conv.qualifies2d(x.shape, wt.shape)
+            pk, ref_fn = conv_pk2d, conv_xla2d
+        tag = f"{sp}^{nd} {ci}->{co} b{b}"
 
         # correctness (forces the first compile + tunnel warmup too)
-        got = conv_pk(x, wt)
-        ref = conv_xla(x, wt)
+        got = pk(x, wt)
+        ref = ref_fn(x, wt)
         err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))))
         scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
         print(f"[{tag}] max err vs XLA bf16: {err:.4f} (ref max {scale:.2f})",
               flush=True)
 
-        macs = b * sp ** 3 * 27 * ci * co
+        macs = b * sp ** nd * 3 ** nd * ci * co
 
         def timeit(name, fn):
             out = fn(x, wt)
@@ -87,14 +104,14 @@ def main() -> None:
                   f"({100 * tfs / TPU_PEAK_TFS:.1f}% peak)", flush=True)
             return dt
 
-        t_pk = timeit("pallas", conv_pk)
-        t_xla = timeit("xla direct", conv_xla)
+        t_pk = timeit("pallas", pk)
+        t_xla = timeit("xla direct", ref_fn)
         results[tag] = {"speedup": round(t_xla / t_pk, 3),
                         "pallas_ms": round(t_pk * 1e3, 2),
                         "xla_ms": round(t_xla * 1e3, 2),
                         "max_abs_err": err}
 
-    head = results["64^3 16->16"]
+    head = results[f"64^3 16->16 b{args.batch}"]
     print(json.dumps({
         "metric": "pallas_conv_speedup_vs_xla",
         "value": head["speedup"],

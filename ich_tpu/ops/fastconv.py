@@ -198,8 +198,10 @@ def conv_same(
     if _MODE == "pallas":
         from ich_tpu.ops import pallas_conv
 
-        if pallas_conv.qualifies(x.shape, w.shape, x.dtype.itemsize):
-            return pallas_conv.conv3d_same16(x, w)
+        if n == 3 and pallas_conv.qualifies(x.shape, w.shape, x.dtype.itemsize):
+            return pallas_conv.conv3d_same(x, w)
+        if n == 2 and pallas_conv.qualifies2d(x.shape, w.shape, x.dtype.itemsize):
+            return pallas_conv.conv2d_same(x, w)
     pack = (
         choose_pack(x.shape[1 : 1 + n], w.shape[:n], w.shape[-1], c_in=w.shape[-2])
         if packing_active()

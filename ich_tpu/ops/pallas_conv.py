@@ -161,6 +161,145 @@ def _conv3d(x, w2, co: int, interpret: bool):
     return out.reshape(b, d, h, w, co)
 
 
+# --------------------------------------------------------------------------
+# 2D variant: same formulation minus the depth taps. One H-tile of rows per
+# grid step; the full padded image is one VMEM-resident block (constant
+# index map across H steps, so it is fetched once per batch element) and
+# the three kh row-windows are dynamic sublane slices of it.
+# --------------------------------------------------------------------------
+
+
+def _htile2d(h: int, w: int, ci: int, co: int, itemsize: int):
+    """Largest H-tile whose A-matrix fits the VMEM budget, or None."""
+    wt = _wtile(co)
+    kpad = _round_up(3 * (wt + 2) * ci, 128)
+    for ht in (64, 32, 16, 8, 4):
+        if h % ht == 0 and ht * (w // wt) * kpad * itemsize <= 4 * 2 ** 20:
+            return ht
+    return None
+
+
+def qualifies2d(x_shape, w_shape, itemsize: int = 2) -> bool:
+    """2D SAME stride-1 3x3 conv, C_out in {8, 16, 32}, W a multiple of the
+    lane tile, padded image + A-tile within VMEM."""
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return False
+    b, h, w, ci = x_shape
+    co = w_shape[3]
+    if w_shape[:2] != (3, 3) or w_shape[2] != ci or co not in COUTS:
+        return False
+    wt = _wtile(co)
+    if w % wt or w < 2 * wt or h < 8:
+        return False
+    if ci != 1 and (ci % 8 or ci > 128):
+        return False
+    if (h + 2) * (w + wt) * ci * itemsize > 8 * 2 ** 20:
+        return False
+    return _htile2d(h, w, ci, co, itemsize) is not None
+
+
+def pack_weights2d(w: jax.Array) -> jax.Array:
+    """(3, 3, Ci, Co) -> (Kpad, 128) with rows (kh, wa, ci), lanes (dw, co)."""
+    ci, co = w.shape[2], w.shape[3]
+    wt = _wtile(co)
+    wa = wt + 2
+    k = 3 * wa * ci
+    w2 = jnp.zeros((3, wa, ci, wt, co), w.dtype)
+    for dw in range(wt):
+        for kw in range(3):
+            w2 = w2.at[:, dw + kw, :, dw, :].set(w[:, kw])
+    w2 = w2.reshape(k, wt * co)
+    kpad = _round_up(k, 128)
+    if kpad != k:
+        w2 = jnp.pad(w2, ((0, kpad - k), (0, 0)))
+    return w2
+
+
+def _kernel2d(xref, w2, out, *, ht, w, ci, co):
+    wt = _wtile(co)
+    nt = w // wt
+    hi = pl.program_id(1)
+    blocks = []
+    for kh in range(3):
+        # dynamic kh row-window of the VMEM-resident padded image
+        y = xref[0, pl.ds(hi * ht + kh, ht)]  # (ht, (w+wt)*ci), fused (W, C)
+        t = y.reshape(ht, nt + 1, wt * ci)
+        a = jnp.concatenate([t[:, :nt], t[:, 1:nt + 1, : 2 * ci]], axis=2)
+        blocks.append(a)                     # (ht, nt, (wt+2)*ci)
+    k = 3 * (wt + 2) * ci
+    A = jnp.stack(blocks, axis=2).reshape(ht * nt, k)
+    kpad = w2.shape[0]
+    if kpad != k:
+        A = jnp.pad(A, ((0, 0), (0, kpad - k)))
+    o = jnp.dot(A, w2[:], preferred_element_type=jnp.float32)
+    out[0] = o.reshape(ht, nt * wt * co).astype(out.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("co", "interpret"))
+def _conv2d(x, w2, co: int, interpret: bool):
+    b, h, w, ci = x.shape
+    wt = _wtile(co)
+    wa = wt + 2
+    ht = _htile2d(h, w, ci, co, x.dtype.itemsize)
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, wa - 3), (0, 0)])
+    xp = xp.reshape(b, h + 2, (w + wt) * ci)
+    kern = functools.partial(_kernel2d, ht=ht, w=w, ci=ci, co=co)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, h // ht),
+        in_specs=[
+            pl.BlockSpec((1, h + 2, (w + wt) * ci),
+                         lambda bi, hi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, lambda bi, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ht, w * co),
+                               lambda bi, hi: (bi, hi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w * co), x.dtype),
+        interpret=interpret,
+    )(xp, w2)
+    return out.reshape(b, h, w, co)
+
+
+def _conv2d_same_impl(x: jax.Array, w: jax.Array) -> jax.Array:
+    w2 = pack_weights2d(w.astype(x.dtype))
+    return _conv2d(x, w2, int(w.shape[3]), _interpret())
+
+
+def _direct2d(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@jax.custom_vjp
+def conv2d_same(x: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME stride-1 3x3 conv with C_out in {8, 16, 32} on the 2D
+    implicit-GEMM kernel. x: (B, H, W, Ci); w: (3, 3, Ci, Co). Same custom
+    VJP structure as :func:`conv3d_same`."""
+    return _conv2d_same_impl(x, w)
+
+
+def _conv2d_same_fwd(x, w):
+    return _conv2d_same_impl(x, w), (x, w)
+
+
+def _conv2d_same_bwd(res, dy):
+    x, w = res
+    w_t = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3).astype(dy.dtype)
+    if qualifies2d(dy.shape, w_t.shape, dy.dtype.itemsize):
+        dx = _conv2d_same_impl(dy, w_t)
+    else:
+        dx = _direct2d(dy, w_t)
+    dx = dx.astype(x.dtype)
+    _, w_vjp = jax.vjp(lambda wi: _direct2d(x, wi.astype(x.dtype)), w)
+    (dw,) = w_vjp(dy.astype(x.dtype))
+    return dx, dw
+
+
+conv2d_same.defvjp(_conv2d_same_fwd, _conv2d_same_bwd)
+
+
 def _conv3d_same_impl(x: jax.Array, w: jax.Array) -> jax.Array:
     w2 = pack_weights(w.astype(x.dtype))
     return _conv3d(x, w2, int(w.shape[4]), _interpret())

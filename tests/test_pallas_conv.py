@@ -68,6 +68,52 @@ def test_qualifies_gates():
     assert not pc.qualifies((2, 5, 8, 4, 8), (3, 3, 3, 8, 32))     # W < 2*WTILE
 
 
+@pytest.mark.parametrize("ci,co", [(1, 32), (32, 32), (64, 32), (16, 16)])
+def test_conv2d_same_matches_xla(ci, co):
+    """The 2D variant (H-tiled grid, dynamic kh row-windows on a resident
+    image block) — covers the 2D flagship's 256^2 C=32 level."""
+    rng = np.random.default_rng(ci * 7 + co)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2, 16, 32, ci)).astype(np.float32))
+    w = jnp.asarray((rng.uniform(-1, 1, size=(3, 3, ci, co)) * 0.2).astype(np.float32))
+    assert pc.qualifies2d(x.shape, w.shape)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = pc.conv2d_same(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_conv2d_same_custom_vjp_matches_autodiff():
+    rng = np.random.default_rng(9)
+    ci, co = 16, 32
+    x = jnp.asarray(rng.uniform(-1, 1, size=(1, 16, 32, ci)).astype(np.float32))
+    w = jnp.asarray((rng.uniform(-1, 1, size=(3, 3, ci, co)) * 0.2).astype(np.float32))
+
+    def ref_loss(xi, wi):
+        y = jax.lax.conv_general_dilated(
+            xi, wi, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(y ** 2)
+
+    gx_ref, gw_ref = jax.grad(ref_loss, argnums=(0, 1))(x, w)
+    gx_pk, gw_pk = jax.grad(
+        lambda xi, wi: jnp.sum(pc.conv2d_same(xi, wi) ** 2), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_pk), np.asarray(gx_ref),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_pk), np.asarray(gw_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_qualifies2d_gates():
+    ok = (2, 16, 32, 32)
+    wk = (3, 3, 32, 32)
+    assert pc.qualifies2d(ok, wk)
+    assert not pc.qualifies2d((2, 16, 30, 32), wk)        # W % WTILE
+    assert not pc.qualifies2d(ok, (3, 3, 32, 64))         # C_out=64
+    assert not pc.qualifies2d(ok, (5, 5, 32, 32))         # kernel != 3x3
+    assert not pc.qualifies2d((2, 4, 32, 32), (3, 3, 32, 32))  # H too small
+    assert not pc.qualifies2d((2, 2048, 2048, 32), wk)    # VMEM
+
+
 @pytest.mark.parametrize("ci,co", [(16, 16), (16, 32)])
 def test_conv3d_same_custom_vjp_matches_autodiff(ci, co):
     """grad through the kernel (custom VJP: input grad = rot-180
