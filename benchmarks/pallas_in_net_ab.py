@@ -75,11 +75,74 @@ def train_ab(reps: int) -> None:
         }))
 
 
+def train2d_ab(reps: int) -> None:
+    """2D train-step A/B at the flagship config (bs16 256^2 depth-5 top-32
+    BN dropout .5 Dice + fused-affine aug — the 40.1 ms BENCHMARKS.md row).
+    The 2D kernel covers the 256^2 C=32 top-level convs."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ich_tpu.experiments.supervised2d import build_augment_fn
+    from ich_tpu.models import UNet
+    from ich_tpu.ops import fastconv
+    from ich_tpu.train import UNet2D
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(16, 256, 256)).astype(np.float32))
+    msks = jnp.asarray((rng.uniform(size=(16, 256, 256)) > 0.98).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    results = {}
+    for mode in ("auto", "pallas"):
+        fastconv.set_packing(mode)
+        try:
+            # identical to train_step_bench.bench_2d so the "auto" arm
+            # reproduces the BENCHMARKS.md 40.1 ms flagship row
+            net = UNet(depth=5, ndim=2, top_filter=32, midchannels_factor=2,
+                       p_dropout=0.5, norm="batch", dtype=jnp.bfloat16)
+            augment = build_augment_fn({
+                "Translate": {"low": -0.1, "high": 0.1},
+                "Rotate": {"low": -10, "high": 10},
+                "Scale": {"low": 0.9, "high": 1.1},
+                "HFlip": {},
+            })
+            tr = UNet2D(net, n_epoch=1, batch_size=16, lr=1e-3,
+                        loss_fn="BinaryDiceLoss",
+                        loss_fn_kwargs={"reduction": "mean"},
+                        augment_fn=augment)
+            tr._ensure_state((256, 256), steps_per_epoch=100)
+            step = tr._make_train_step()
+            st, loss = step(tr.state, imgs, msks, key)
+            _ = float(loss)
+            t0 = time.perf_counter()
+            for i in range(reps):
+                st, loss = step(st, imgs, msks, jax.random.fold_in(key, i))
+            _ = float(loss)
+            dt = (time.perf_counter() - t0) / reps
+            results[mode] = dt
+            print(f"train2d {mode:8s} {dt * 1e3:8.1f} ms/step", flush=True)
+        except Exception as e:  # pragma: no cover - hardware probe
+            print(f"train2d {mode:8s} FAILED: {type(e).__name__}: {e}", flush=True)
+        finally:
+            fastconv.set_packing("auto")
+    if len(results) == 2:
+        print(json.dumps({
+            "metric": "pallas_train2d_step_speedup",
+            "value": round(results["auto"] / results["pallas"], 3),
+            "unit": "x",
+            "auto_ms": round(results["auto"] * 1e3, 1),
+            "pallas_ms": round(results["pallas"] * 1e3, 1),
+        }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--train", action="store_true",
                     help="A/B the 3D train step instead of sliding-window inference")
+    ap.add_argument("--train2d", action="store_true",
+                    help="A/B the 2D flagship train step")
     args = ap.parse_args()
 
     import jax
@@ -91,6 +154,9 @@ def main() -> None:
 
     if args.train:
         train_ab(args.reps)
+        return
+    if args.train2d:
+        train2d_ab(args.reps)
         return
 
     from ich_tpu.models import UNet
