@@ -1,0 +1,19 @@
+#!/bin/bash
+# Ordered TPU work queue for the next session with a live tunnel
+# (docs/ROUND4_NOTES.md). One TPU client at a time; each stage bounded.
+# Usage: bash benchmarks/run_tpu_queue.sh   (log: /tmp/tpu_queue.log)
+cd "$(dirname "$0")/.."
+log=/tmp/tpu_queue.log
+: > "$log"
+run() {
+  echo "=== ${*:2} === $(date)" | tee -a "$log"
+  timeout "$1" "${@:2}" 2>&1 | grep -v "Warning" | tee -a "$log"
+  echo "--- done $(date) ---" | tee -a "$log"
+}
+run 2700 python benchmarks/pallas_conv_gate.py          # 7-shape micro-gate
+run 2700 python benchmarks/pallas_in_net_ab.py          # 3D inference A/B
+run 2700 python benchmarks/pallas_in_net_ab.py --train  # 3D train A/B
+run 2700 python benchmarks/pallas_in_net_ab.py --train2d # 2D train A/B
+run 2700 python benchmarks/train_step_bench.py --only gan_bs64  # remat bs64
+run 3600 python bench.py                                # headline JSON
+echo "QUEUE DONE $(date)" | tee -a "$log"
