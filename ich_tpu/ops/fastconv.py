@@ -36,7 +36,13 @@ import numpy as np
 # Packing mode: "auto" (default) currently resolves to OFF — see
 # packing_active() for the measured rationale; "on" forces packing wherever
 # the shape qualifies (tests + experimentation); "off" disables it.
-_MODE = "auto"
+# ICH_TPU_PACKING overrides the initial mode so serving CLIs can enable the
+# pallas kernel without code changes (set_packing still wins afterwards).
+import os as _os
+
+_MODE = _os.environ.get("ICH_TPU_PACKING", "auto")
+if _MODE not in ("auto", "on", "off", "pallas"):  # pragma: no cover
+    raise ValueError(f"ICH_TPU_PACKING must be auto/on/off/pallas, got {_MODE!r}")
 
 
 def set_packing(mode: str) -> None:

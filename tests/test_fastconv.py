@@ -111,3 +111,24 @@ def test_unet_forward_invariant_under_packing():
     finally:
         fastconv.set_packing("auto")
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
+
+
+def test_packing_env_override(tmp_path):
+    """ICH_TPU_PACKING sets the initial mode (serving CLIs enable the
+    kernel without code changes); invalid values fail fast."""
+    import subprocess
+    import sys
+
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu');"
+            "from ich_tpu.ops import fastconv;"
+            "print(fastconv.packing_key())")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env={**__import__('os').environ, "ICH_TPU_PACKING": "pallas",
+             "PYTHONPATH": "/root/.axon_site:/root/repo"})
+    assert out.stdout.strip().endswith("pallas"), out.stderr
+    bad = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env={**__import__('os').environ, "ICH_TPU_PACKING": "bogus",
+             "PYTHONPATH": "/root/.axon_site:/root/repo"})
+    assert bad.returncode != 0 and "ICH_TPU_PACKING" in bad.stderr
