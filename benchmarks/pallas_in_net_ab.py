@@ -79,8 +79,6 @@ def train2d_ab(reps: int) -> None:
     """2D train-step A/B at the flagship config (bs16 256^2 depth-5 top-32
     BN dropout .5 Dice + fused-affine aug — the 40.1 ms BENCHMARKS.md row).
     The 2D kernel covers the 256^2 C=32 top-level convs."""
-    import time
-
     import jax
     import jax.numpy as jnp
 

@@ -7,8 +7,9 @@ log=/tmp/tpu_queue.log
 : > "$log"
 run() {
   echo "=== ${*:2} === $(date)" | tee -a "$log"
-  timeout "$1" "${@:2}" 2>&1 | grep -v "Warning" | tee -a "$log"
-  echo "--- done $(date) ---" | tee -a "$log"
+  timeout "$1" "${@:2}" 2>&1 | grep --line-buffered -v "Warning" | tee -a "$log"
+  local st=${PIPESTATUS[0]}
+  echo "--- exit=$st$( [ "$st" = 124 ] && echo ' (TIMEOUT)' ) $(date) ---" | tee -a "$log"
 }
 run 2700 python benchmarks/pallas_conv_gate.py          # 7-shape micro-gate
 run 2700 python benchmarks/pallas_in_net_ab.py          # 3D inference A/B

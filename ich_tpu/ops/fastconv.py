@@ -47,9 +47,9 @@ if _MODE not in ("auto", "on", "off", "pallas"):  # pragma: no cover
 
 def set_packing(mode: str) -> None:
     """"auto"/"off": direct conv; "on": depth-to-space lane packing;
-    "pallas": the implicit-GEMM kernel for qualifying C_out∈{8,16,32} 3D
-    convs (:mod:`ich_tpu.ops.pallas_conv`; differentiable — the custom VJP
-    routes the input grad through the kernel as well)."""
+    "pallas": the implicit-GEMM kernel for qualifying C_out∈{8,16,32} 2D
+    and 3D convs (:mod:`ich_tpu.ops.pallas_conv`; differentiable — the
+    custom VJPs route the input grads through the kernels as well)."""
     global _MODE
     if mode not in ("auto", "on", "off", "pallas"):
         raise ValueError(f"unknown packing mode {mode!r}")

@@ -82,19 +82,7 @@ def _round_up(x: int, m: int) -> int:
 def pack_weights(w: jax.Array) -> jax.Array:
     """(3, 3, 3, Ci, Co) -> (Kpad, 128) with rows (kd, kh, wa, ci) and
     lanes (dw, co)."""
-    ci, co = w.shape[3], w.shape[4]
-    wt = _wtile(co)
-    wa = wt + 2
-    k = 9 * wa * ci
-    w2 = jnp.zeros((3, 3, wa, ci, wt, co), w.dtype)
-    for dw in range(wt):
-        for kw in range(3):
-            w2 = w2.at[:, :, dw + kw, :, dw, :].set(w[:, :, kw])
-    w2 = w2.reshape(k, wt * co)
-    kpad = _round_up(k, 128)
-    if kpad != k:
-        w2 = jnp.pad(w2, ((0, kpad - k), (0, 0)))
-    return w2
+    return _pack_w_axis(w)
 
 
 def _kernel(x0, x1, x2, w2, out, *, h, w, ci, co):
@@ -112,9 +100,7 @@ def _kernel(x0, x1, x2, w2, out, *, h, w, ci, co):
         plane = ref[0, 0]                   # (h+2, (w+wt)*ci)
         for kh in range(3):
             y = plane[kh:kh + h]            # (h, (w+wt)*ci)
-            t = y.reshape(h, nt + 1, wt * ci)
-            a = jnp.concatenate([t[:, :nt], t[:, 1:nt + 1, : 2 * ci]], axis=2)
-            blocks.append(a)                # (h, nt, (wt+2)*ci)
+            blocks.append(_wwindow(y, nt, wt, ci))  # (h, nt, (wt+2)*ci)
     k = 9 * (wt + 2) * ci
     A = jnp.stack(blocks, axis=2).reshape(h * nt, k)
     kpad = w2.shape[0]
@@ -163,25 +149,34 @@ def _conv3d(x, w2, co: int, interpret: bool):
 
 # --------------------------------------------------------------------------
 # 2D variant: same formulation minus the depth taps. One H-tile of rows per
-# grid step; the full padded image is one VMEM-resident block (constant
-# index map across H steps, so it is fetched once per batch element) and
-# the three kh row-windows are dynamic sublane slices of it.
+# grid step; the three kh row-windows arrive as blocks of three row-shifted
+# views of the padded image (the same trick the 3D kernel plays along
+# depth), so per-step VMEM is three (ht, (w+wt)*ci) tiles — never the whole
+# image. Budgets assume Pallas double-buffers input/output blocks across
+# grid steps (~16 MB VMEM/core total).
 # --------------------------------------------------------------------------
+
+_A_BUDGET = int(2.5 * 2 ** 20)      # A-matrix bytes per grid step
+_BLK_BUDGET = int(2.5 * 2 ** 20)    # 3 kh-window input blocks per grid step
 
 
 def _htile2d(h: int, w: int, ci: int, co: int, itemsize: int):
-    """Largest H-tile whose A-matrix fits the VMEM budget, or None."""
+    """Largest H-tile whose A-matrix + input blocks fit the VMEM budget."""
     wt = _wtile(co)
     kpad = _round_up(3 * (wt + 2) * ci, 128)
     for ht in (64, 32, 16, 8, 4):
-        if h % ht == 0 and ht * (w // wt) * kpad * itemsize <= 4 * 2 ** 20:
+        if h % ht:
+            continue
+        a = ht * (w // wt) * kpad * itemsize
+        blk = 3 * ht * (w + wt) * ci * itemsize
+        if a <= _A_BUDGET and blk <= _BLK_BUDGET:
             return ht
     return None
 
 
 def qualifies2d(x_shape, w_shape, itemsize: int = 2) -> bool:
     """2D SAME stride-1 3x3 conv, C_out in {8, 16, 32}, W a multiple of the
-    lane tile, padded image + A-tile within VMEM."""
+    lane tile, and an H-tile whose working set fits VMEM."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return False
     b, h, w, ci = x_shape
@@ -193,21 +188,23 @@ def qualifies2d(x_shape, w_shape, itemsize: int = 2) -> bool:
         return False
     if ci != 1 and (ci % 8 or ci > 128):
         return False
-    if (h + 2) * (w + wt) * ci * itemsize > 8 * 2 ** 20:
-        return False
     return _htile2d(h, w, ci, co, itemsize) is not None
 
 
-def pack_weights2d(w: jax.Array) -> jax.Array:
-    """(3, 3, Ci, Co) -> (Kpad, 128) with rows (kh, wa, ci), lanes (dw, co)."""
-    ci, co = w.shape[2], w.shape[3]
+def _pack_w_axis(w: jax.Array) -> jax.Array:
+    """(*taps, 3, Ci, Co) -> (Kpad, 128): scatter the 3 w-taps of each
+    leading tap combination across the (wa, dw) diagonal band; rows ordered
+    (*taps, wa, ci), lanes (dw, co). Shared by the 2D and 3D packers."""
+    *lead, _, ci, co = w.shape
     wt = _wtile(co)
     wa = wt + 2
-    k = 3 * wa * ci
-    w2 = jnp.zeros((3, wa, ci, wt, co), w.dtype)
+    nlead = int(np.prod(lead)) if lead else 1
+    wl = w.reshape(nlead, 3, ci, co)
+    w2 = jnp.zeros((nlead, wa, ci, wt, co), w.dtype)
     for dw in range(wt):
         for kw in range(3):
-            w2 = w2.at[:, dw + kw, :, dw, :].set(w[:, kw])
+            w2 = w2.at[:, dw + kw, :, dw, :].set(wl[:, kw])
+    k = nlead * wa * ci
     w2 = w2.reshape(k, wt * co)
     kpad = _round_up(k, 128)
     if kpad != k:
@@ -215,24 +212,29 @@ def pack_weights2d(w: jax.Array) -> jax.Array:
     return w2
 
 
-def _kernel2d(xref, w2, out, *, ht, w, ci, co):
+def pack_weights2d(w: jax.Array) -> jax.Array:
+    """(3, 3, Ci, Co) -> (Kpad, 128) with rows (kh, wa, ci), lanes (dw, co)."""
+    return _pack_w_axis(w)
+
+
+def _wwindow(y: jax.Array, nt: int, wt: int, ci: int) -> jax.Array:
+    """(rows, (w+wt)*ci) -> (rows, nt, (wt+2)*ci): each lane tile's w-window
+    is block j + the first 2*ci fused columns of block j+1."""
+    t = y.reshape(y.shape[0], nt + 1, wt * ci)
+    return jnp.concatenate([t[:, :nt], t[:, 1:nt + 1, : 2 * ci]], axis=2)
+
+
+def _kernel2d(x0, x1, x2, w2, out, *, ht, w, ci, co):
     wt = _wtile(co)
     nt = w // wt
-    hi = pl.program_id(1)
-    blocks = []
-    for kh in range(3):
-        # dynamic kh row-window of the VMEM-resident padded image
-        y = xref[0, pl.ds(hi * ht + kh, ht)]  # (ht, (w+wt)*ci), fused (W, C)
-        t = y.reshape(ht, nt + 1, wt * ci)
-        a = jnp.concatenate([t[:, :nt], t[:, 1:nt + 1, : 2 * ci]], axis=2)
-        blocks.append(a)                     # (ht, nt, (wt+2)*ci)
+    blocks = [_wwindow(ref[0, 0], nt, wt, ci) for ref in (x0, x1, x2)]
     k = 3 * (wt + 2) * ci
     A = jnp.stack(blocks, axis=2).reshape(ht * nt, k)
     kpad = w2.shape[0]
     if kpad != k:
         A = jnp.pad(A, ((0, 0), (0, kpad - k)))
     o = jnp.dot(A, w2[:], preferred_element_type=jnp.float32)
-    out[0] = o.reshape(ht, nt * wt * co).astype(out.dtype)
+    out[0, 0] = o.reshape(ht, nt * wt * co).astype(out.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("co", "interpret"))
@@ -241,24 +243,28 @@ def _conv2d(x, w2, co: int, interpret: bool):
     wt = _wtile(co)
     wa = wt + 2
     ht = _htile2d(h, w, ci, co, x.dtype.itemsize)
+    wci = (w + wt) * ci
     xp = jnp.pad(x, [(0, 0), (1, 1), (1, wa - 3), (0, 0)])
-    xp = xp.reshape(b, h + 2, (w + wt) * ci)
+    xp = xp.reshape(b, h + 2, wci)
+    nh = h // ht
+    # three row-shifted views, each H-blocked: ref kh's block hi holds rows
+    # [hi*ht + kh, hi*ht + kh + ht) of the padded image
+    xs = [xp[:, kh:kh + h].reshape(b, nh, ht, wci) for kh in range(3)]
     kern = functools.partial(_kernel2d, ht=ht, w=w, ci=ci, co=co)
+    spec = pl.BlockSpec((1, 1, ht, wci), lambda bi, hi: (bi, hi, 0, 0),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
-        grid=(b, h // ht),
-        in_specs=[
-            pl.BlockSpec((1, h + 2, (w + wt) * ci),
-                         lambda bi, hi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(w2.shape, lambda bi, hi: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ht, w * co),
-                               lambda bi, hi: (bi, hi, 0),
+        grid=(b, nh),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec(w2.shape, lambda bi, hi: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, ht, w * co),
+                               lambda bi, hi: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w * co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nh, ht, w * co), x.dtype),
         interpret=interpret,
-    )(xp, w2)
+    )(*xs, w2)
     return out.reshape(b, h, w, co)
 
 

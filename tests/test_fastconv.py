@@ -113,7 +113,8 @@ def test_unet_forward_invariant_under_packing():
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
 
 
-def test_packing_env_override(tmp_path):
+@pytest.mark.slow  # two fresh-interpreter jax imports
+def test_packing_env_override():
     """ICH_TPU_PACKING sets the initial mode (serving CLIs enable the
     kernel without code changes); invalid values fail fast."""
     import subprocess

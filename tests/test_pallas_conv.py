@@ -111,7 +111,12 @@ def test_qualifies2d_gates():
     assert not pc.qualifies2d(ok, (3, 3, 32, 64))         # C_out=64
     assert not pc.qualifies2d(ok, (5, 5, 32, 32))         # kernel != 3x3
     assert not pc.qualifies2d((2, 4, 32, 32), (3, 3, 32, 32))  # H too small
-    assert not pc.qualifies2d((2, 2048, 2048, 32), wk)    # VMEM
+    # H-tiling makes the budget independent of image height...
+    assert pc.qualifies2d((2, 2048, 2048, 32), wk)
+    # ...but a row that can't fit VMEM even at the smallest tile is out
+    assert not pc.qualifies2d((2, 16, 8192, 128), (3, 3, 128, 32))
+    # the flagship decoder concat shape must stay in (gate row)
+    assert pc.qualifies2d((16, 256, 256, 64), (3, 3, 64, 32))
 
 
 @pytest.mark.parametrize("ci,co", [(16, 16), (16, 32)])
