@@ -72,7 +72,9 @@ def qualifies(x_shape, w_shape, itemsize: int = 2) -> bool:
         return False
     k = 9 * (wt + 2) * ci
     a_bytes = (h * (w // wt)) * _round_up(k, 128) * itemsize
-    return a_bytes <= 8 * 2 ** 20
+    # ~16 MB VMEM/core must also hold the A-build temporaries, the three
+    # double-buffered plane blocks and the out tile — cap A at 6 MB
+    return a_bytes <= 6 * 2 ** 20
 
 
 def _round_up(x: int, m: int) -> int:
