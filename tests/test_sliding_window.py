@@ -85,7 +85,7 @@ def test_coset_equals_general_path():
         keep[n:] = 0
     slow = sw._sliding_window_jit(
         variables, volume, jnp.asarray(coords), jnp.asarray(keep),
-        apply_fn, (16, 16, 16), 2, n_pad,
+        apply_fn, (16, 16, 16), 2, n_pad, packing="auto",
     )
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=2e-4)
 
