@@ -198,6 +198,15 @@ def _arm_watchdog(seconds: float):
             "unit": f"volumes/s (BENCH WATCHDOG: no result within "
                     f"{int(seconds / 60)} min — TPU tunnel likely down)",
             "vs_baseline": None,
+            "extra": {
+                "last_measured": {
+                    "value": 6.81,
+                    "unit": "volumes/s (64^3 cross-coset 128-chunks, "
+                            "round 3; 8.43 pipelined)",
+                    "vs_baseline": 1252,
+                    "see": "docs/BENCHMARKS.md headline table",
+                },
+            },
         }), flush=True)
         os._exit(2)
 

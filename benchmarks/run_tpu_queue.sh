@@ -17,4 +17,9 @@ run 2700 python benchmarks/pallas_in_net_ab.py --train  # 3D train A/B
 run 2700 python benchmarks/pallas_in_net_ab.py --train2d # 2D train A/B
 run 2700 python benchmarks/train_step_bench.py --only gan_bs64  # remat bs64
 run 3600 python bench.py                                # headline JSON
+# Remaining time: pool two more label-efficiency seeds (~55 min each),
+# then refresh the aggregate report over all seed dirs in /tmp/le_multi.
+run 4500 python benchmarks/label_efficiency_bench.py --seed 48 --out /tmp/le_multi/seed48
+run 4500 python benchmarks/label_efficiency_bench.py --seed 49 --out /tmp/le_multi/seed49
+run 1200 python benchmarks/label_efficiency_bench.py --report-only --out /tmp/le_multi
 echo "QUEUE DONE $(date)" | tee -a "$log"
