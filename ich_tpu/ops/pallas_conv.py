@@ -151,15 +151,18 @@ def _conv3d(x, w2, co: int, interpret: bool):
 
 # --------------------------------------------------------------------------
 # 2D variant: same formulation minus the depth taps. One H-tile of rows per
-# grid step; the three kh row-windows arrive as blocks of three row-shifted
-# views of the padded image (the same trick the 3D kernel plays along
-# depth), so per-step VMEM is three (ht, (w+wt)*ci) tiles — never the whole
-# image. Budgets assume Pallas double-buffers input/output blocks across
-# grid steps (~16 MB VMEM/core total).
+# grid step. The ht+2 padded rows a tile needs straddle one block boundary,
+# so the SAME padded image (H-blocked once, with ht-1 zero rows appended so
+# block nh exists) is passed through TWO refs whose index maps are offset by
+# one block: rows = block hi ++ first 2 rows of block hi+1. No row-shifted
+# copies are materialized in HBM (an earlier 3-view variant wrote 3x the
+# image before every call) and per-step VMEM is ~three (ht, (w+wt)*ci)
+# tiles — never the whole image. Budgets assume Pallas double-buffers
+# input/output blocks across grid steps (~16 MB VMEM/core total).
 # --------------------------------------------------------------------------
 
 _A_BUDGET = int(2.5 * 2 ** 20)      # A-matrix bytes per grid step
-_BLK_BUDGET = int(2.5 * 2 ** 20)    # 3 kh-window input blocks per grid step
+_BLK_BUDGET = int(2.5 * 2 ** 20)    # 2 input blocks + concat temp per step
 
 
 def _htile2d(h: int, w: int, ci: int, co: int, itemsize: int):
@@ -226,10 +229,12 @@ def _wwindow(y: jax.Array, nt: int, wt: int, ci: int) -> jax.Array:
     return jnp.concatenate([t[:, :nt], t[:, 1:nt + 1, : 2 * ci]], axis=2)
 
 
-def _kernel2d(x0, x1, x2, w2, out, *, ht, w, ci, co):
+def _kernel2d(x0, x1, w2, out, *, ht, w, ci, co):
     wt = _wtile(co)
     nt = w // wt
-    blocks = [_wwindow(ref[0, 0], nt, wt, ci) for ref in (x0, x1, x2)]
+    # (ht+2, wci) window of padded rows: block hi + 2 rows of block hi+1
+    rows = jnp.concatenate([x0[0, 0], x1[0, 0][:2]], axis=0)
+    blocks = [_wwindow(rows[kh:kh + ht], nt, wt, ci) for kh in range(3)]
     k = 3 * (wt + 2) * ci
     A = jnp.stack(blocks, axis=2).reshape(ht * nt, k)
     kpad = w2.shape[0]
@@ -245,20 +250,26 @@ def _conv2d(x, w2, co: int, interpret: bool):
     wt = _wtile(co)
     wa = wt + 2
     ht = _htile2d(h, w, ci, co, x.dtype.itemsize)
+    if ht is None:
+        raise ValueError(
+            f"conv2d_same: shape {x.shape} x {tuple(w2.shape)} does not "
+            "qualify — gate call sites with qualifies2d()")
     wci = (w + wt) * ci
-    xp = jnp.pad(x, [(0, 0), (1, 1), (1, wa - 3), (0, 0)])
-    xp = xp.reshape(b, h + 2, wci)
     nh = h // ht
-    # three row-shifted views, each H-blocked: ref kh's block hi holds rows
-    # [hi*ht + kh, hi*ht + kh + ht) of the padded image
-    xs = [xp[:, kh:kh + h].reshape(b, nh, ht, wci) for kh in range(3)]
+    # SAME-pad (1 row top) and extend the bottom so the padded image is
+    # exactly nh+1 H-blocks: block hi + the first 2 rows of block hi+1 give
+    # the ht+2 rows tile hi needs (ht-1 >= 1 zero rows cover the bottom pad).
+    xp = jnp.pad(x, [(0, 0), (1, (nh + 1) * ht - (h + 1)), (1, wa - 3), (0, 0)])
+    xq = xp.reshape(b, nh + 1, ht, wci)
     kern = functools.partial(_kernel2d, ht=ht, w=w, ci=ci, co=co)
-    spec = pl.BlockSpec((1, 1, ht, wci), lambda bi, hi: (bi, hi, 0, 0),
-                        memory_space=pltpu.VMEM)
+    spec0 = pl.BlockSpec((1, 1, ht, wci), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    spec1 = pl.BlockSpec((1, 1, ht, wci), lambda bi, hi: (bi, hi + 1, 0, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         grid=(b, nh),
-        in_specs=[spec, spec, spec,
+        in_specs=[spec0, spec1,
                   pl.BlockSpec(w2.shape, lambda bi, hi: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 1, ht, w * co),
@@ -266,7 +277,7 @@ def _conv2d(x, w2, co: int, interpret: bool):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nh, ht, w * co), x.dtype),
         interpret=interpret,
-    )(*xs, w2)
+    )(xq, xq, w2)
     return out.reshape(b, h, w, co)
 
 
