@@ -32,7 +32,7 @@ class PConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, prologue=None) -> jax.Array:
         c_in = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -46,7 +46,12 @@ class PConv(nn.Module):
             else None
         )
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
-        y = fastconv.conv_same(x, kernel)
+        if prologue is not None:
+            # (sc, sh) per-(sample, channel): conv(relu(x*sc + sh), k) with
+            # the affine+relu fused into the pallas A-build when available
+            y = fastconv.conv_same_pro(x, prologue[0], prologue[1], kernel)
+        else:
+            y = fastconv.conv_same(x, kernel)
         if bias is not None:
             y = y + bias
         return y
@@ -80,7 +85,7 @@ class FlatGroupNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_affine: bool = False):
         c = x.shape[-1]
         g = self.num_groups
         assert c % g == 0, (c, g)
@@ -105,6 +110,11 @@ class FlatGroupNorm(nn.Module):
         # fold scale/bias into one multiply-add: y = x*sc + sh
         sc = rs_c * scale[None, :]
         sh = bias[None, :] - mu_c * sc
+        if return_affine:
+            # (B, C) folded affine for prologue fusion into a following
+            # conv (fastconv.conv_same_pro) — the normalize pass is never
+            # materialized; the caller owns applying relu(x*sc + sh)
+            return sc, sh
         shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
         y = x * sc.astype(x.dtype).reshape(shape) + sh.astype(x.dtype).reshape(shape)
         return y.astype(self.dtype)
@@ -126,12 +136,15 @@ class Norm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        if self.kind == "none":
-            return x
+    def __call__(self, x: jax.Array, train: bool = False,
+                 return_affine: bool = False):
         if self.kind == "group":
             groups = max(1, x.shape[-1] // self.group_size)
-            return FlatGroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
+            return FlatGroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(
+                x, return_affine=return_affine)
+        assert not return_affine, "return_affine requires kind='group'"
+        if self.kind == "none":
+            return x
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -175,9 +188,26 @@ class ConvBlock(nn.Module):
         # f32 inside flax): a f32 norm between bf16 convs would force two
         # bf16<->f32 conversion passes per norm — pure HBM traffic
         x = self._conv(x, mid, k, "conv1")
-        x = Norm(self.norm, axis_name=self.axis_name, dtype=self.dtype, name="bn1")(x, train)
-        x = nn.relu(x)
-        x = self._conv(x, self.out_channels, k, "conv2")
+        # eval-path GN-prologue fusion: bn1's normalize + relu fold into
+        # conv2's pallas A-build as a (B, C) affine, skipping one whole-
+        # activation write + read per block (the fused kernels have no VJP,
+        # so the train path keeps the unfused chain). Param tree unchanged.
+        fuse = (
+            not train
+            and not self.gated
+            and self.norm == "group"
+            and self.kernel_size == 3
+            and fastconv.packing_key() == "pallas"
+        )
+        if fuse:
+            sc, sh = Norm(self.norm, axis_name=self.axis_name, dtype=self.dtype,
+                          name="bn1")(x, train, return_affine=True)
+            x = PConv(self.out_channels, k, dtype=self.dtype, name="conv2")(
+                x, prologue=(sc, sh))
+        else:
+            x = Norm(self.norm, axis_name=self.axis_name, dtype=self.dtype, name="bn1")(x, train)
+            x = nn.relu(x)
+            x = self._conv(x, self.out_channels, k, "conv2")
         x = Norm(self.norm, axis_name=self.axis_name, dtype=self.dtype, name="bn2")(x, train)
         x = nn.relu(x)
         if self.p_dropout > 0.0:

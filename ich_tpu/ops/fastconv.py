@@ -193,6 +193,35 @@ def packed_conv(
     return out.reshape((b,) + full + (c_out,))
 
 
+def conv_same_pro(
+    x: jax.Array,
+    sc: jax.Array,
+    sh: jax.Array,
+    w: jax.Array,
+    precision=None,
+) -> jax.Array:
+    """``conv_same(relu(x * sc + sh), w)`` with the per-(sample, channel)
+    affine + ReLU fused into the pallas kernel's A-build when the mode is
+    "pallas" and the shape qualifies (eval only — the fused kernels define
+    no VJP; callers gate on ``train=False``). ``sc``/``sh``: (B, C_in) —
+    GroupNorm's normalize with its statistics folded
+    (:class:`ich_tpu.models.layers.FlatGroupNorm`). Falls back to the
+    unfused composition everywhere else, so outputs are always defined."""
+    n = x.ndim - 2
+    if _MODE == "pallas":
+        from ich_tpu.ops import pallas_conv
+
+        if n == 3 and pallas_conv.qualifies(x.shape, w.shape, x.dtype.itemsize):
+            return pallas_conv.conv3d_same_pro(x, sc, sh, w)
+        if n == 2 and pallas_conv.qualifies2d(x.shape, w.shape, x.dtype.itemsize):
+            return pallas_conv.conv2d_same_pro(x, sc, sh, w)
+    shape = (x.shape[0],) + (1,) * n + (x.shape[-1],)
+    y = jnp.maximum(
+        x * sc.astype(x.dtype).reshape(shape) + sh.astype(x.dtype).reshape(shape), 0
+    )
+    return conv_same(y, w, precision=precision)
+
+
 def conv_same(
     x: jax.Array,
     w: jax.Array,

@@ -120,6 +120,56 @@ def _interpret() -> bool:
         return True
 
 
+# --------------------------------------------------------------------------
+# Prologue-fused variants: conv(relu(x * a + b), w) for per-(sample,
+# channel) affines a, b — the shape GroupNorm's normalize takes once its
+# statistics are folded (layers.FlatGroupNorm: y = x*sc + sh). Fusing the
+# normalize+ReLU into the A-build removes its whole-activation write+read:
+# the kernel already loads x, and the affine is VPU work on the resident
+# plane. SAME-padding must stay zero *post*-relu (relu(b) can be > 0), so
+# pad rows/columns (and, in 3D, whole pad planes) are masked back to zero
+# after the affine — statically, from iota row/column indices and the
+# depth program id. Eval-only: no VJP is defined (ConvBlock gates the
+# fused path on ``train=False``).
+# --------------------------------------------------------------------------
+
+
+def _pro_masks(wci: int, ci: int, w: int):
+    """Column mask over the fused (w-position, ci) minor axis: real image
+    columns are w positions 1..w of the padded row (0 is SAME pad, the
+    trailing wt-1 are lane-tile extension pad)."""
+    wpos = jax.lax.broadcasted_iota(jnp.int32, (1, wci), 1) // ci
+    return jnp.logical_and(wpos >= 1, wpos <= w)
+
+
+def _kernel_pro(x0, x1, x2, asc, bsh, w2, out, *, h, w, ci, co, d):
+    wt = _wtile(co)
+    nt = w // wt
+    wci = (w + wt) * ci
+    av = asc[0]
+    bv = bsh[0]
+    di = pl.program_id(1)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (h + 2, 1), 0)
+    mask2 = jnp.logical_and(
+        jnp.logical_and(rows_i >= 1, rows_i <= h), _pro_masks(wci, ci, w))
+    blocks = []
+    for kd, ref in enumerate((x0, x1, x2)):
+        raw = ref[0, 0]                     # (h+2, wci)
+        # padded depth planes (indices 0 and d+1) are all-pad: mask whole
+        valid = jnp.logical_and(di + kd > 0, di + kd < d + 1)
+        m = jnp.logical_and(mask2, valid)
+        plane = jnp.where(m, jnp.maximum(raw * av + bv, 0), 0).astype(raw.dtype)
+        for kh in range(3):
+            blocks.append(_wwindow(plane[kh:kh + h], nt, wt, ci))
+    k = 9 * (wt + 2) * ci
+    A = jnp.stack(blocks, axis=2).reshape(h * nt, k)
+    kpad = w2.shape[0]
+    if kpad != k:
+        A = jnp.pad(A, ((0, 0), (0, kpad - k)))
+    o = jnp.dot(A, w2[:], preferred_element_type=jnp.float32)
+    out[0, 0] = o.reshape(h, nt * wt * co).astype(out.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("co", "interpret"))
 def _conv3d(x, w2, co: int, interpret: bool):
     b, d, h, w, ci = x.shape
@@ -147,6 +197,51 @@ def _conv3d(x, w2, co: int, interpret: bool):
         interpret=interpret,
     )(xp, xp, xp, w2)
     return out.reshape(b, d, h, w, co)
+
+
+@functools.partial(jax.jit, static_argnames=("co", "interpret"))
+def _conv3d_pro(x, asc, bsh, w2, co: int, interpret: bool):
+    b, d, h, w, ci = x.shape
+    wt = _wtile(co)
+    wa = wt + 2
+    wci = (w + wt) * ci
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (1, wa - 3), (0, 0)])
+    xp = xp.reshape(b, d + 2, h + 2, wci)
+    # (B, C) affines tiled over the fused (w-position, ci) minor axis
+    at = jnp.tile(asc.astype(x.dtype), (1, w + wt))
+    bt = jnp.tile(bsh.astype(x.dtype), (1, w + wt))
+    kern = functools.partial(_kernel_pro, h=h, w=w, ci=ci, co=co, d=d)
+    specs = [
+        pl.BlockSpec((1, 1, h + 2, wci),
+                     (lambda bi, di, kd=kd: (bi, di + kd, 0, 0)),
+                     memory_space=pltpu.VMEM)
+        for kd in range(3)
+    ]
+    vec = pl.BlockSpec((1, wci), lambda bi, di: (bi, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, d),
+        in_specs=specs + [vec, vec,
+                          pl.BlockSpec(w2.shape, lambda bi, di: (0, 0),
+                                       memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, h, w * co),
+                               lambda bi, di: (bi, di, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, d, h, w * co), x.dtype),
+        interpret=interpret,
+    )(xp, xp, xp, at, bt, w2)
+    return out.reshape(b, d, h, w, co)
+
+
+def conv3d_same_pro(x: jax.Array, asc: jax.Array, bsh: jax.Array,
+                    w: jax.Array) -> jax.Array:
+    """``conv3d_same(relu(x * a + b), w)`` with the per-(sample, channel)
+    affine + ReLU fused into the kernel's A-build (GroupNorm's normalize
+    once its statistics are folded — see layers.FlatGroupNorm). asc/bsh:
+    (B, C_in). Eval-only: no VJP. Gate call sites with :func:`qualifies`."""
+    w2 = pack_weights(w.astype(x.dtype))
+    return _conv3d_pro(x, asc, bsh, w2, int(w.shape[4]), _interpret())
 
 
 # --------------------------------------------------------------------------
@@ -279,6 +374,72 @@ def _conv2d(x, w2, co: int, interpret: bool):
         interpret=interpret,
     )(xq, xq, w2)
     return out.reshape(b, h, w, co)
+
+
+def _kernel2d_pro(x0, x1, asc, bsh, w2, out, *, ht, h, w, ci, co):
+    wt = _wtile(co)
+    nt = w // wt
+    wci = (w + wt) * ci
+    rows = jnp.concatenate([x0[0, 0], x1[0, 0][:2]], axis=0)  # (ht+2, wci)
+    hi = pl.program_id(1)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (ht + 2, 1), 0) + hi * ht
+    m = jnp.logical_and(
+        jnp.logical_and(gidx >= 1, gidx <= h), _pro_masks(wci, ci, w))
+    rows = jnp.where(
+        m, jnp.maximum(rows * asc[0] + bsh[0], 0), 0).astype(rows.dtype)
+    blocks = [_wwindow(rows[kh:kh + ht], nt, wt, ci) for kh in range(3)]
+    k = 3 * (wt + 2) * ci
+    A = jnp.stack(blocks, axis=2).reshape(ht * nt, k)
+    kpad = w2.shape[0]
+    if kpad != k:
+        A = jnp.pad(A, ((0, 0), (0, kpad - k)))
+    o = jnp.dot(A, w2[:], preferred_element_type=jnp.float32)
+    out[0, 0] = o.reshape(ht, nt * wt * co).astype(out.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("co", "interpret"))
+def _conv2d_pro(x, asc, bsh, w2, co: int, interpret: bool):
+    b, h, w, ci = x.shape
+    wt = _wtile(co)
+    wa = wt + 2
+    ht = _htile2d(h, w, ci, co, x.dtype.itemsize)
+    if ht is None:
+        raise ValueError(
+            f"conv2d_same_pro: shape {x.shape} does not qualify — gate call "
+            "sites with qualifies2d()")
+    wci = (w + wt) * ci
+    nh = h // ht
+    xp = jnp.pad(x, [(0, 0), (1, (nh + 1) * ht - (h + 1)), (1, wa - 3), (0, 0)])
+    xq = xp.reshape(b, nh + 1, ht, wci)
+    at = jnp.tile(asc.astype(x.dtype), (1, w + wt))
+    bt = jnp.tile(bsh.astype(x.dtype), (1, w + wt))
+    kern = functools.partial(_kernel2d_pro, ht=ht, h=h, w=w, ci=ci, co=co)
+    spec0 = pl.BlockSpec((1, 1, ht, wci), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    spec1 = pl.BlockSpec((1, 1, ht, wci), lambda bi, hi: (bi, hi + 1, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, wci), lambda bi, hi: (bi, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, nh),
+        in_specs=[spec0, spec1, vec, vec,
+                  pl.BlockSpec(w2.shape, lambda bi, hi: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, ht, w * co),
+                               lambda bi, hi: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nh, ht, w * co), x.dtype),
+        interpret=interpret,
+    )(xq, xq, at, bt, w2)
+    return out.reshape(b, h, w, co)
+
+
+def conv2d_same_pro(x: jax.Array, asc: jax.Array, bsh: jax.Array,
+                    w: jax.Array) -> jax.Array:
+    """2D :func:`conv3d_same_pro`. asc/bsh: (B, C_in). Eval-only."""
+    w2 = pack_weights2d(w.astype(x.dtype))
+    return _conv2d_pro(x, asc, bsh, w2, int(w.shape[3]), _interpret())
 
 
 def _conv2d_same_impl(x: jax.Array, w: jax.Array) -> jax.Array:

@@ -194,3 +194,76 @@ def test_kernel_property_sweep():
         got = (pc.conv3d_same if nd == 3 else pc.conv2d_same)(x, w)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4, err_msg=str((nd, xs, ws)))
+
+
+@pytest.mark.parametrize("ci,co", [(16, 16), (16, 32), (8, 8)])
+def test_conv3d_same_pro_matches_composition(ci, co):
+    """Prologue-fused kernel == conv(relu(x*a+b), w): the GN-normalize+ReLU
+    fusion must keep SAME padding zero *post*-relu (relu(b) > 0 for b > 0,
+    so the pad masking is load-bearing — b is drawn positive here)."""
+    rng = np.random.default_rng(ci + co)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2, 4, 8, 16, ci)).astype(np.float32))
+    w = jnp.asarray((rng.uniform(-1, 1, size=(3, 3, 3, ci, co)) * 0.2).astype(np.float32))
+    a = jnp.asarray(rng.uniform(0.5, 2.0, size=(2, ci)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0.1, 1.0, size=(2, ci)).astype(np.float32))
+    y = jnp.maximum(x * a[:, None, None, None, :] + b[:, None, None, None, :], 0)
+    ref = jax.lax.conv_general_dilated(
+        y, w, (1, 1, 1), "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = pc.conv3d_same_pro(x, a, b, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("ci,co", [(16, 32), (32, 32), (8, 16)])
+def test_conv2d_same_pro_matches_composition(ci, co):
+    rng = np.random.default_rng(ci * 3 + co)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2, 16, 32, ci)).astype(np.float32))
+    w = jnp.asarray((rng.uniform(-1, 1, size=(3, 3, ci, co)) * 0.2).astype(np.float32))
+    a = jnp.asarray(rng.uniform(0.5, 2.0, size=(2, ci)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0.1, 1.0, size=(2, ci)).astype(np.float32))
+    y = jnp.maximum(x * a[:, None, None, :] + b[:, None, None, :], 0)
+    ref = jax.lax.conv_general_dilated(
+        y, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = pc.conv2d_same_pro(x, a, b, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_conv2d_same_pro_multi_htile():
+    """H large enough to span several H-tiles: the global-row mask built
+    from program_id must still zero exactly the pad rows."""
+    rng = np.random.default_rng(77)
+    ci, co = 16, 16
+    x = jnp.asarray(rng.uniform(-1, 1, size=(1, 64, 16, ci)).astype(np.float32))
+    w = jnp.asarray((rng.uniform(-1, 1, size=(3, 3, ci, co)) * 0.2).astype(np.float32))
+    a = jnp.asarray(rng.uniform(0.5, 2.0, size=(1, ci)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0.1, 1.0, size=(1, ci)).astype(np.float32))
+    y = jnp.maximum(x * a[:, None, None, :] + b[:, None, None, :], 0)
+    ref = jax.lax.conv_general_dilated(
+        y, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = pc.conv2d_same_pro(x, a, b, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_convblock_gn_prologue_fusion(ndim):
+    """set_packing("pallas") + eval + GroupNorm routes ConvBlock's second
+    conv through the prologue-fused kernel; output matches the unfused
+    chain (same params — the fusion leaves the param tree untouched)."""
+    from ich_tpu.models.layers import ConvBlock
+    from ich_tpu.ops import fastconv
+
+    rng = np.random.default_rng(ndim)
+    spatial = (8, 16) if ndim == 2 else (4, 8, 16)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2,) + spatial + (16,)).astype(np.float32))
+    blk = ConvBlock(out_channels=16, ndim=ndim, norm="group", p_dropout=0.0)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    ref = blk.apply(v, x, train=False)
+    fastconv.set_packing("pallas")
+    try:
+        got = blk.apply(v, x, train=False)
+    finally:
+        fastconv.set_packing("auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
