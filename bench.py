@@ -133,16 +133,41 @@ def main():
     # per-coset ones (64+56+56+49).
     for patch, batch in ((64, 128), (128, 8)):
         run = make_run(patch, batch)
-        try:
-            lat, thr = timed(run)
-        except Exception as e:  # one config must not kill the headline
-            results[f"patch{patch}"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        # 64^3 headline: self-selecting packing A/B — the pallas
+        # implicit-GEMM kernel (+ GN-prologue fusion) targets exactly this
+        # eval path, so measure both modes and keep the faster (both are
+        # recorded). The memoized inference programs key on packing_key(),
+        # so the two arms never share a stale executable. 128^3 stays on
+        # the default mode (its shapes exceed the kernel's VMEM gate).
+        modes = ("auto", "pallas") if patch == 64 else ("auto",)
+        best = None
+        mode_times = {}
+        err = None
+        for mode in modes:
+            fastconv.set_packing(mode)
+            try:
+                lat_m, thr_m = timed(run)
+            except Exception as e:
+                mode_times[mode] = f"{type(e).__name__}: {e}"[:160]
+                err = e
+                continue
+            finally:
+                fastconv.set_packing("auto")
+            mode_times[mode] = round(thr_m * 1e3, 1)
+            if best is None or thr_m < best[2]:
+                best = (mode, lat_m, thr_m)
+        if best is None:  # every mode failed; the headline must not crash
+            results[f"patch{patch}"] = {"error": f"{type(err).__name__}: {err}"[:200]}
             continue
+        mode, lat, thr = best
         flops = algorithmic_flops(patch, batch)
         entry = {
             "volumes_per_s": round(1.0 / lat, 4),
             "volumes_per_s_pipelined": round(1.0 / thr, 4),
+            "packing": mode,
         }
+        if len(mode_times) > 1:
+            entry["mode_ms_per_volume"] = mode_times
         if flops is not None:
             tflops = flops / thr / 1e12
             entry["tflops"] = round(tflops, 2)
