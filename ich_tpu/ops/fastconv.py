@@ -222,6 +222,51 @@ def conv_same_pro(
     return conv_same(y, w, precision=precision)
 
 
+def _spatial_stats(y: jax.Array):
+    """Per-(sample, channel) f32 mean and mean-of-squares over the spatial
+    axes — the inputs FlatGroupNorm's group aggregation takes."""
+    red = tuple(range(1, y.ndim - 1))
+    yf = y.astype(jnp.float32)
+    return jnp.mean(yf, axis=red), jnp.mean(jnp.square(yf), axis=red)
+
+
+def conv_same_stats(x: jax.Array, w: jax.Array, precision=None):
+    """``(conv_same(x, w), mean, mean_sq)`` — epilogue-fused on the pallas
+    kernel (the stats come from the VMEM-resident output, so the following
+    GroupNorm skips its whole-activation HBM stats pass); elsewhere the
+    stats are plain reductions FlatGroupNorm would have run anyway.
+    Eval-only on the kernel path (no VJP)."""
+    n = x.ndim - 2
+    if _MODE == "pallas":
+        from ich_tpu.ops import pallas_conv
+
+        if n == 3 and pallas_conv.qualifies(x.shape, w.shape, x.dtype.itemsize):
+            return pallas_conv.conv3d_same_stats(x, w)
+        if n == 2 and pallas_conv.qualifies2d(x.shape, w.shape, x.dtype.itemsize):
+            return pallas_conv.conv2d_same_stats(x, w)
+    y = conv_same(x, w, precision=precision)
+    return (y,) + _spatial_stats(y)
+
+
+def conv_same_pro_stats(x: jax.Array, sc: jax.Array, sh: jax.Array,
+                        w: jax.Array, precision=None):
+    """:func:`conv_same_pro` + the epilogue statistics of
+    :func:`conv_same_stats`. Eval-only on the kernel path."""
+    n = x.ndim - 2
+    if _MODE == "pallas":
+        from ich_tpu.ops import pallas_conv
+
+        if n == 3 and pallas_conv.qualifies(x.shape, w.shape, x.dtype.itemsize):
+            return pallas_conv.conv3d_same_pro_stats(x, sc, sh, w)
+        if n == 2 and pallas_conv.qualifies2d(x.shape, w.shape, x.dtype.itemsize):
+            return pallas_conv.conv2d_same_pro_stats(x, sc, sh, w)
+    shape = (x.shape[0],) + (1,) * n + (x.shape[-1],)
+    y = jnp.maximum(
+        x * sc.astype(x.dtype).reshape(shape) + sh.astype(x.dtype).reshape(shape), 0
+    )
+    return conv_same_stats(y, w, precision=precision)
+
+
 def conv_same(
     x: jax.Array,
     w: jax.Array,

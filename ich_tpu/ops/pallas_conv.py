@@ -87,30 +87,52 @@ def pack_weights(w: jax.Array) -> jax.Array:
     return _pack_w_axis(w)
 
 
-def _kernel(x0, x1, x2, w2, out, *, h, w, ci, co):
-    # Planes arrive flattened to (h+2, (w+wt)*ci): the (W, C) axes are fused
-    # so the lane (minor) dimension is wide and dense — a bare C=8/16/32
-    # minor axis would be padded to 128 lanes in VMEM/HBM (8-16x inflation
-    # on every overlapping plane fetch). The im2col windows survive the
-    # fusion: a (wt+2)-wide w-window is the contiguous column range
-    # [j*wt*ci, (j*wt + wt+2)*ci) = block j + the first 2*ci columns of
-    # block j+1.
+def _emit(planes, w2, out, st, *, h, w, ci, co):
+    """Shared A-build + MXU dot + output (and optional stats) write.
+
+    ``planes``: 3 (3D) or 1 (2D) padded row blocks of shape (h+2, (w+wt)*ci)
+    with the (W, C) axes fused so the lane (minor) dimension is wide and
+    dense — a bare C=8/16/32 minor axis would be padded to 128 lanes in
+    VMEM/HBM (8-16x inflation on every overlapping plane fetch). The im2col
+    windows survive the fusion: a (wt+2)-wide w-window is the contiguous
+    column range [j*wt*ci, (j*wt + wt+2)*ci) = block j + the first 2*ci
+    columns of block j+1.
+
+    ``st``: optional (1, 1, 2, co) stats ref — per-channel sum and
+    sum-of-squares of this grid step's *rounded* output (epilogue fusion:
+    the following GroupNorm's statistics pass never re-reads the
+    activation from HBM). Computed post-rounding so they match stats taken
+    from the written activation exactly."""
     wt = _wtile(co)
     nt = w // wt
     blocks = []
-    for ref in (x0, x1, x2):
-        plane = ref[0, 0]                   # (h+2, (w+wt)*ci)
+    for plane in planes:                    # (h+2, (w+wt)*ci)
         for kh in range(3):
             y = plane[kh:kh + h]            # (h, (w+wt)*ci)
             blocks.append(_wwindow(y, nt, wt, ci))  # (h, nt, (wt+2)*ci)
-    k = 9 * (wt + 2) * ci
+    k = len(planes) * 3 * (wt + 2) * ci
     A = jnp.stack(blocks, axis=2).reshape(h * nt, k)
     kpad = w2.shape[0]
     if kpad != k:
         A = jnp.pad(A, ((0, 0), (0, kpad - k)))
     o = jnp.dot(A, w2[:], preferred_element_type=jnp.float32)
+    r = o.astype(out.dtype)
     # rows (h, nt), lanes (wt, co) -> (h, w*co) w-major co-minor
-    out[0, 0] = o.reshape(h, nt * wt * co).astype(out.dtype)
+    out[0, 0] = r.reshape(h, nt * wt * co)
+    if st is not None:
+        rf = r.astype(jnp.float32).reshape(h * nt, wt, co)
+        st[0, 0] = jnp.stack(
+            [jnp.sum(rf, axis=(0, 1)), jnp.sum(rf * rf, axis=(0, 1))])
+
+
+def _kernel(x0, x1, x2, w2, out, *, h, w, ci, co):
+    _emit([r[0, 0] for r in (x0, x1, x2)], w2, out, None,
+          h=h, w=w, ci=ci, co=co)
+
+
+def _kernel_st(x0, x1, x2, w2, out, st, *, h, w, ci, co):
+    _emit([r[0, 0] for r in (x0, x1, x2)], w2, out, st,
+          h=h, w=w, ci=ci, co=co)
 
 
 def _interpret() -> bool:
@@ -143,8 +165,17 @@ def _pro_masks(wci: int, ci: int, w: int):
 
 
 def _kernel_pro(x0, x1, x2, asc, bsh, w2, out, *, h, w, ci, co, d):
+    _emit(_pro3d((x0, x1, x2), asc, bsh, h=h, w=w, ci=ci, co=co, d=d),
+          w2, out, None, h=h, w=w, ci=ci, co=co)
+
+
+def _kernel_pro_st(x0, x1, x2, asc, bsh, w2, out, st, *, h, w, ci, co, d):
+    _emit(_pro3d((x0, x1, x2), asc, bsh, h=h, w=w, ci=ci, co=co, d=d),
+          w2, out, st, h=h, w=w, ci=ci, co=co)
+
+
+def _pro3d(refs, asc, bsh, *, h, w, ci, co, d):
     wt = _wtile(co)
-    nt = w // wt
     wci = (w + wt) * ci
     av = asc[0]
     bv = bsh[0]
@@ -152,55 +183,72 @@ def _kernel_pro(x0, x1, x2, asc, bsh, w2, out, *, h, w, ci, co, d):
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (h + 2, 1), 0)
     mask2 = jnp.logical_and(
         jnp.logical_and(rows_i >= 1, rows_i <= h), _pro_masks(wci, ci, w))
-    blocks = []
-    for kd, ref in enumerate((x0, x1, x2)):
+    planes = []
+    for kd, ref in enumerate(refs):
         raw = ref[0, 0]                     # (h+2, wci)
         # padded depth planes (indices 0 and d+1) are all-pad: mask whole
         valid = jnp.logical_and(di + kd > 0, di + kd < d + 1)
         m = jnp.logical_and(mask2, valid)
-        plane = jnp.where(m, jnp.maximum(raw * av + bv, 0), 0).astype(raw.dtype)
-        for kh in range(3):
-            blocks.append(_wwindow(plane[kh:kh + h], nt, wt, ci))
-    k = 9 * (wt + 2) * ci
-    A = jnp.stack(blocks, axis=2).reshape(h * nt, k)
-    kpad = w2.shape[0]
-    if kpad != k:
-        A = jnp.pad(A, ((0, 0), (0, kpad - k)))
-    o = jnp.dot(A, w2[:], preferred_element_type=jnp.float32)
-    out[0, 0] = o.reshape(h, nt * wt * co).astype(out.dtype)
+        planes.append(
+            jnp.where(m, jnp.maximum(raw * av + bv, 0), 0).astype(raw.dtype))
+    return planes
 
 
-@functools.partial(jax.jit, static_argnames=("co", "interpret"))
-def _conv3d(x, w2, co: int, interpret: bool):
+def _stats3d_specs(b, d, co):
+    """Per-grid-step (1, 1, 2, co) stats block over a (b, d, 2, co) array."""
+    spec = pl.BlockSpec((1, 1, 2, co), lambda bi, di: (bi, di, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return spec, jax.ShapeDtypeStruct((b, d, 2, co), jnp.float32)
+
+
+def _finish_stats(st, n):
+    """(B, steps, 2, C) per-step sums -> per-channel (mean, mean-of-squares)
+    as f32 (B, C) pairs — the inputs FlatGroupNorm's group aggregation
+    takes."""
+    s = jnp.sum(st, axis=1)
+    return s[:, 0] / n, s[:, 1] / n
+
+
+@functools.partial(jax.jit, static_argnames=("co", "interpret", "stats"))
+def _conv3d(x, w2, co: int, interpret: bool, stats: bool = False):
     b, d, h, w, ci = x.shape
     wt = _wtile(co)
     wa = wt + 2
     xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (1, wa - 3), (0, 0)])
-    # fuse (W, C) so blocks move lane-dense (see _kernel)
+    # fuse (W, C) so blocks move lane-dense (see _emit)
     xp = xp.reshape(b, d + 2, h + 2, (w + wt) * ci)
-    kern = functools.partial(_kernel, h=h, w=w, ci=ci, co=co)
     specs = [
         pl.BlockSpec((1, 1, h + 2, (w + wt) * ci),
                      (lambda bi, di, kd=kd: (bi, di + kd, 0, 0)),
                      memory_space=pltpu.VMEM)
         for kd in range(3)
     ]
+    in_specs = specs + [pl.BlockSpec(w2.shape, lambda bi, di: (0, 0),
+                                     memory_space=pltpu.VMEM)]
+    out_spec = pl.BlockSpec((1, 1, h, w * co), lambda bi, di: (bi, di, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, d, h, w * co), x.dtype)
+    if stats:
+        st_spec, st_shape = _stats3d_specs(b, d, co)
+        out, st = pl.pallas_call(
+            functools.partial(_kernel_st, h=h, w=w, ci=ci, co=co),
+            grid=(b, d), in_specs=in_specs,
+            out_specs=(out_spec, st_spec), out_shape=(out_shape, st_shape),
+            interpret=interpret,
+        )(xp, xp, xp, w2)
+        m, q = _finish_stats(st, d * h * w)
+        return out.reshape(b, d, h, w, co), m, q
     out = pl.pallas_call(
-        kern,
-        grid=(b, d),
-        in_specs=specs + [pl.BlockSpec(w2.shape, lambda bi, di: (0, 0),
-                                       memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, h, w * co),
-                               lambda bi, di: (bi, di, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d, h, w * co), x.dtype),
+        functools.partial(_kernel, h=h, w=w, ci=ci, co=co),
+        grid=(b, d), in_specs=in_specs,
+        out_specs=out_spec, out_shape=out_shape,
         interpret=interpret,
     )(xp, xp, xp, w2)
     return out.reshape(b, d, h, w, co)
 
 
-@functools.partial(jax.jit, static_argnames=("co", "interpret"))
-def _conv3d_pro(x, asc, bsh, w2, co: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("co", "interpret", "stats"))
+def _conv3d_pro(x, asc, bsh, w2, co: int, interpret: bool, stats: bool = False):
     b, d, h, w, ci = x.shape
     wt = _wtile(co)
     wa = wt + 2
@@ -210,7 +258,6 @@ def _conv3d_pro(x, asc, bsh, w2, co: int, interpret: bool):
     # (B, C) affines tiled over the fused (w-position, ci) minor axis
     at = jnp.tile(asc.astype(x.dtype), (1, w + wt))
     bt = jnp.tile(bsh.astype(x.dtype), (1, w + wt))
-    kern = functools.partial(_kernel_pro, h=h, w=w, ci=ci, co=co, d=d)
     specs = [
         pl.BlockSpec((1, 1, h + 2, wci),
                      (lambda bi, di, kd=kd: (bi, di + kd, 0, 0)),
@@ -219,16 +266,26 @@ def _conv3d_pro(x, asc, bsh, w2, co: int, interpret: bool):
     ]
     vec = pl.BlockSpec((1, wci), lambda bi, di: (bi, 0),
                        memory_space=pltpu.VMEM)
+    in_specs = specs + [vec, vec,
+                        pl.BlockSpec(w2.shape, lambda bi, di: (0, 0),
+                                     memory_space=pltpu.VMEM)]
+    out_spec = pl.BlockSpec((1, 1, h, w * co), lambda bi, di: (bi, di, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, d, h, w * co), x.dtype)
+    if stats:
+        st_spec, st_shape = _stats3d_specs(b, d, co)
+        out, st = pl.pallas_call(
+            functools.partial(_kernel_pro_st, h=h, w=w, ci=ci, co=co, d=d),
+            grid=(b, d), in_specs=in_specs,
+            out_specs=(out_spec, st_spec), out_shape=(out_shape, st_shape),
+            interpret=interpret,
+        )(xp, xp, xp, at, bt, w2)
+        m, q = _finish_stats(st, d * h * w)
+        return out.reshape(b, d, h, w, co), m, q
     out = pl.pallas_call(
-        kern,
-        grid=(b, d),
-        in_specs=specs + [vec, vec,
-                          pl.BlockSpec(w2.shape, lambda bi, di: (0, 0),
-                                       memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, h, w * co),
-                               lambda bi, di: (bi, di, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d, h, w * co), x.dtype),
+        functools.partial(_kernel_pro, h=h, w=w, ci=ci, co=co, d=d),
+        grid=(b, d), in_specs=in_specs,
+        out_specs=out_spec, out_shape=out_shape,
         interpret=interpret,
     )(xp, xp, xp, at, bt, w2)
     return out.reshape(b, d, h, w, co)
@@ -242,6 +299,26 @@ def conv3d_same_pro(x: jax.Array, asc: jax.Array, bsh: jax.Array,
     (B, C_in). Eval-only: no VJP. Gate call sites with :func:`qualifies`."""
     w2 = pack_weights(w.astype(x.dtype))
     return _conv3d_pro(x, asc, bsh, w2, int(w.shape[4]), _interpret())
+
+
+def conv3d_same_stats(x: jax.Array, w: jax.Array):
+    """``(conv3d_same(x, w), mean, mean_sq)`` — the epilogue also emits the
+    output's per-(sample, channel) f32 statistics from the VMEM-resident
+    result (post-rounding, so they equal stats recomputed from the written
+    activation), feeding the *following* GroupNorm without its HBM stats
+    pass. Eval-only: no VJP."""
+    w2 = pack_weights(w.astype(x.dtype))
+    return _conv3d(x, w2, int(w.shape[4]), _interpret(), stats=True)
+
+
+def conv3d_same_pro_stats(x: jax.Array, asc: jax.Array, bsh: jax.Array,
+                          w: jax.Array):
+    """:func:`conv3d_same_pro` + the epilogue statistics of
+    :func:`conv3d_same_stats`: prologue GN-affine+relu in, output stats
+    out. Eval-only."""
+    w2 = pack_weights(w.astype(x.dtype))
+    return _conv3d_pro(x, asc, bsh, w2, int(w.shape[4]), _interpret(),
+                       stats=True)
 
 
 # --------------------------------------------------------------------------
@@ -324,112 +401,126 @@ def _wwindow(y: jax.Array, nt: int, wt: int, ci: int) -> jax.Array:
     return jnp.concatenate([t[:, :nt], t[:, 1:nt + 1, : 2 * ci]], axis=2)
 
 
-def _kernel2d(x0, x1, w2, out, *, ht, w, ci, co):
-    wt = _wtile(co)
-    nt = w // wt
+def _rows2d(x0, x1):
     # (ht+2, wci) window of padded rows: block hi + 2 rows of block hi+1
-    rows = jnp.concatenate([x0[0, 0], x1[0, 0][:2]], axis=0)
-    blocks = [_wwindow(rows[kh:kh + ht], nt, wt, ci) for kh in range(3)]
-    k = 3 * (wt + 2) * ci
-    A = jnp.stack(blocks, axis=2).reshape(ht * nt, k)
-    kpad = w2.shape[0]
-    if kpad != k:
-        A = jnp.pad(A, ((0, 0), (0, kpad - k)))
-    o = jnp.dot(A, w2[:], preferred_element_type=jnp.float32)
-    out[0, 0] = o.reshape(ht, nt * wt * co).astype(out.dtype)
+    return jnp.concatenate([x0[0, 0], x1[0, 0][:2]], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("co", "interpret"))
-def _conv2d(x, w2, co: int, interpret: bool):
+def _kernel2d(x0, x1, w2, out, *, ht, w, ci, co):
+    _emit([_rows2d(x0, x1)], w2, out, None, h=ht, w=w, ci=ci, co=co)
+
+
+def _kernel2d_st(x0, x1, w2, out, st, *, ht, w, ci, co):
+    _emit([_rows2d(x0, x1)], w2, out, st, h=ht, w=w, ci=ci, co=co)
+
+
+def _prep2d(x, co):
+    """Shared 2D padding/blocking: SAME-pad (1 row top) and extend the
+    bottom so the padded image is exactly nh+1 H-blocks: block hi + the
+    first 2 rows of block hi+1 give the ht+2 rows tile hi needs (ht-1 >= 1
+    zero rows cover the bottom pad)."""
     b, h, w, ci = x.shape
     wt = _wtile(co)
     wa = wt + 2
     ht = _htile2d(h, w, ci, co, x.dtype.itemsize)
     if ht is None:
         raise ValueError(
-            f"conv2d_same: shape {x.shape} x {tuple(w2.shape)} does not "
-            "qualify — gate call sites with qualifies2d()")
-    wci = (w + wt) * ci
-    nh = h // ht
-    # SAME-pad (1 row top) and extend the bottom so the padded image is
-    # exactly nh+1 H-blocks: block hi + the first 2 rows of block hi+1 give
-    # the ht+2 rows tile hi needs (ht-1 >= 1 zero rows cover the bottom pad).
-    xp = jnp.pad(x, [(0, 0), (1, (nh + 1) * ht - (h + 1)), (1, wa - 3), (0, 0)])
-    xq = xp.reshape(b, nh + 1, ht, wci)
-    kern = functools.partial(_kernel2d, ht=ht, w=w, ci=ci, co=co)
-    spec0 = pl.BlockSpec((1, 1, ht, wci), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM)
-    spec1 = pl.BlockSpec((1, 1, ht, wci), lambda bi, hi: (bi, hi + 1, 0, 0),
-                         memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kern,
-        grid=(b, nh),
-        in_specs=[spec0, spec1,
-                  pl.BlockSpec(w2.shape, lambda bi, hi: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, ht, w * co),
-                               lambda bi, hi: (bi, hi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nh, ht, w * co), x.dtype),
-        interpret=interpret,
-    )(xq, xq, w2)
-    return out.reshape(b, h, w, co)
-
-
-def _kernel2d_pro(x0, x1, asc, bsh, w2, out, *, ht, h, w, ci, co):
-    wt = _wtile(co)
-    nt = w // wt
-    wci = (w + wt) * ci
-    rows = jnp.concatenate([x0[0, 0], x1[0, 0][:2]], axis=0)  # (ht+2, wci)
-    hi = pl.program_id(1)
-    gidx = jax.lax.broadcasted_iota(jnp.int32, (ht + 2, 1), 0) + hi * ht
-    m = jnp.logical_and(
-        jnp.logical_and(gidx >= 1, gidx <= h), _pro_masks(wci, ci, w))
-    rows = jnp.where(
-        m, jnp.maximum(rows * asc[0] + bsh[0], 0), 0).astype(rows.dtype)
-    blocks = [_wwindow(rows[kh:kh + ht], nt, wt, ci) for kh in range(3)]
-    k = 3 * (wt + 2) * ci
-    A = jnp.stack(blocks, axis=2).reshape(ht * nt, k)
-    kpad = w2.shape[0]
-    if kpad != k:
-        A = jnp.pad(A, ((0, 0), (0, kpad - k)))
-    o = jnp.dot(A, w2[:], preferred_element_type=jnp.float32)
-    out[0, 0] = o.reshape(ht, nt * wt * co).astype(out.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("co", "interpret"))
-def _conv2d_pro(x, asc, bsh, w2, co: int, interpret: bool):
-    b, h, w, ci = x.shape
-    wt = _wtile(co)
-    wa = wt + 2
-    ht = _htile2d(h, w, ci, co, x.dtype.itemsize)
-    if ht is None:
-        raise ValueError(
-            f"conv2d_same_pro: shape {x.shape} does not qualify — gate call "
+            f"pallas 2D conv: shape {x.shape} does not qualify — gate call "
             "sites with qualifies2d()")
     wci = (w + wt) * ci
     nh = h // ht
     xp = jnp.pad(x, [(0, 0), (1, (nh + 1) * ht - (h + 1)), (1, wa - 3), (0, 0)])
     xq = xp.reshape(b, nh + 1, ht, wci)
-    at = jnp.tile(asc.astype(x.dtype), (1, w + wt))
-    bt = jnp.tile(bsh.astype(x.dtype), (1, w + wt))
-    kern = functools.partial(_kernel2d_pro, ht=ht, h=h, w=w, ci=ci, co=co)
     spec0 = pl.BlockSpec((1, 1, ht, wci), lambda bi, hi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM)
     spec1 = pl.BlockSpec((1, 1, ht, wci), lambda bi, hi: (bi, hi + 1, 0, 0),
                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, ht, w * co), lambda bi, hi: (bi, hi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, nh, ht, w * co), x.dtype)
+    return xq, ht, nh, wci, spec0, spec1, out_spec, out_shape
+
+
+def _stats2d_specs(b, nh, co):
+    spec = pl.BlockSpec((1, 1, 2, co), lambda bi, hi: (bi, hi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return spec, jax.ShapeDtypeStruct((b, nh, 2, co), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("co", "interpret", "stats"))
+def _conv2d(x, w2, co: int, interpret: bool, stats: bool = False):
+    b, h, w, ci = x.shape
+    xq, ht, nh, wci, spec0, spec1, out_spec, out_shape = _prep2d(x, co)
+    in_specs = [spec0, spec1,
+                pl.BlockSpec(w2.shape, lambda bi, hi: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    if stats:
+        st_spec, st_shape = _stats2d_specs(b, nh, co)
+        out, st = pl.pallas_call(
+            functools.partial(_kernel2d_st, ht=ht, w=w, ci=ci, co=co),
+            grid=(b, nh), in_specs=in_specs,
+            out_specs=(out_spec, st_spec), out_shape=(out_shape, st_shape),
+            interpret=interpret,
+        )(xq, xq, w2)
+        m, q = _finish_stats(st, h * w)
+        return out.reshape(b, h, w, co), m, q
+    out = pl.pallas_call(
+        functools.partial(_kernel2d, ht=ht, w=w, ci=ci, co=co),
+        grid=(b, nh), in_specs=in_specs,
+        out_specs=out_spec, out_shape=out_shape,
+        interpret=interpret,
+    )(xq, xq, w2)
+    return out.reshape(b, h, w, co)
+
+
+def _pro2d(x0, x1, asc, bsh, *, ht, h, w, ci, co):
+    wt = _wtile(co)
+    wci = (w + wt) * ci
+    rows = _rows2d(x0, x1)                  # (ht+2, wci)
+    hi = pl.program_id(1)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (ht + 2, 1), 0) + hi * ht
+    m = jnp.logical_and(
+        jnp.logical_and(gidx >= 1, gidx <= h), _pro_masks(wci, ci, w))
+    return jnp.where(
+        m, jnp.maximum(rows * asc[0] + bsh[0], 0), 0).astype(rows.dtype)
+
+
+def _kernel2d_pro(x0, x1, asc, bsh, w2, out, *, ht, h, w, ci, co):
+    _emit([_pro2d(x0, x1, asc, bsh, ht=ht, h=h, w=w, ci=ci, co=co)],
+          w2, out, None, h=ht, w=w, ci=ci, co=co)
+
+
+def _kernel2d_pro_st(x0, x1, asc, bsh, w2, out, st, *, ht, h, w, ci, co):
+    _emit([_pro2d(x0, x1, asc, bsh, ht=ht, h=h, w=w, ci=ci, co=co)],
+          w2, out, st, h=ht, w=w, ci=ci, co=co)
+
+
+@functools.partial(jax.jit, static_argnames=("co", "interpret", "stats"))
+def _conv2d_pro(x, asc, bsh, w2, co: int, interpret: bool, stats: bool = False):
+    b, h, w, ci = x.shape
+    wt = _wtile(co)
+    xq, ht, nh, wci, spec0, spec1, out_spec, out_shape = _prep2d(x, co)
+    at = jnp.tile(asc.astype(x.dtype), (1, w + wt))
+    bt = jnp.tile(bsh.astype(x.dtype), (1, w + wt))
     vec = pl.BlockSpec((1, wci), lambda bi, hi: (bi, 0),
                        memory_space=pltpu.VMEM)
+    in_specs = [spec0, spec1, vec, vec,
+                pl.BlockSpec(w2.shape, lambda bi, hi: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    if stats:
+        st_spec, st_shape = _stats2d_specs(b, nh, co)
+        out, st = pl.pallas_call(
+            functools.partial(_kernel2d_pro_st, ht=ht, h=h, w=w, ci=ci, co=co),
+            grid=(b, nh), in_specs=in_specs,
+            out_specs=(out_spec, st_spec), out_shape=(out_shape, st_shape),
+            interpret=interpret,
+        )(xq, xq, at, bt, w2)
+        m, q = _finish_stats(st, h * w)
+        return out.reshape(b, h, w, co), m, q
     out = pl.pallas_call(
-        kern,
-        grid=(b, nh),
-        in_specs=[spec0, spec1, vec, vec,
-                  pl.BlockSpec(w2.shape, lambda bi, hi: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, ht, w * co),
-                               lambda bi, hi: (bi, hi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nh, ht, w * co), x.dtype),
+        functools.partial(_kernel2d_pro, ht=ht, h=h, w=w, ci=ci, co=co),
+        grid=(b, nh), in_specs=in_specs,
+        out_specs=out_spec, out_shape=out_shape,
         interpret=interpret,
     )(xq, xq, at, bt, w2)
     return out.reshape(b, h, w, co)
@@ -440,6 +531,20 @@ def conv2d_same_pro(x: jax.Array, asc: jax.Array, bsh: jax.Array,
     """2D :func:`conv3d_same_pro`. asc/bsh: (B, C_in). Eval-only."""
     w2 = pack_weights2d(w.astype(x.dtype))
     return _conv2d_pro(x, asc, bsh, w2, int(w.shape[3]), _interpret())
+
+
+def conv2d_same_stats(x: jax.Array, w: jax.Array):
+    """2D :func:`conv3d_same_stats`. Eval-only."""
+    w2 = pack_weights2d(w.astype(x.dtype))
+    return _conv2d(x, w2, int(w.shape[3]), _interpret(), stats=True)
+
+
+def conv2d_same_pro_stats(x: jax.Array, asc: jax.Array, bsh: jax.Array,
+                          w: jax.Array):
+    """2D :func:`conv3d_same_pro_stats`. Eval-only."""
+    w2 = pack_weights2d(w.astype(x.dtype))
+    return _conv2d_pro(x, asc, bsh, w2, int(w.shape[3]), _interpret(),
+                       stats=True)
 
 
 def _conv2d_same_impl(x: jax.Array, w: jax.Array) -> jax.Array:

@@ -267,3 +267,54 @@ def test_convblock_gn_prologue_fusion(ndim):
         fastconv.set_packing("auto")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("nd,ci,co", [(3, 16, 16), (3, 16, 32), (2, 16, 32), (2, 16, 16)])
+def test_conv_same_stats_epilogue(nd, ci, co):
+    """The epilogue stats outputs equal per-(sample, channel) mean and
+    mean-of-squares recomputed from the written activation."""
+    rng = np.random.default_rng(nd * 10 + co)
+    xs = (2, 4, 8, 16, ci) if nd == 3 else (2, 64, 16, ci)
+    ws = (3,) * nd + (ci, co)
+    x = jnp.asarray(rng.uniform(-1, 1, size=xs).astype(np.float32))
+    w = jnp.asarray((rng.uniform(-1, 1, size=ws) * 0.2).astype(np.float32))
+    fn = pc.conv3d_same_stats if nd == 3 else pc.conv2d_same_stats
+    y, m, q = fn(x, w)
+    red = tuple(range(1, y.ndim - 1))
+    np.testing.assert_allclose(np.asarray(m), np.asarray(jnp.mean(y, axis=red)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(q),
+                               np.asarray(jnp.mean(jnp.square(y), axis=red)),
+                               rtol=1e-5, atol=1e-6)
+    dn = ("NDHWC", "DHWIO", "NDHWC") if nd == 3 else ("NHWC", "HWIO", "NHWC")
+    ref = jax.lax.conv_general_dilated(x, w, (1,) * nd, "SAME",
+                                       dimension_numbers=dn)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("nd", [2, 3])
+def test_conv_same_pro_stats(nd):
+    """Prologue + epilogue combined: fused affine/relu in, output stats out."""
+    rng = np.random.default_rng(nd)
+    ci, co = 16, 16
+    xs = (2, 4, 8, 16, ci) if nd == 3 else (2, 32, 16, ci)
+    x = jnp.asarray(rng.uniform(-1, 1, size=xs).astype(np.float32))
+    w = jnp.asarray((rng.uniform(-1, 1, size=(3,) * nd + (ci, co)) * 0.2).astype(np.float32))
+    a = jnp.asarray(rng.uniform(0.5, 2.0, size=(2, ci)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0.1, 1.0, size=(2, ci)).astype(np.float32))
+    bshape = (2,) + (1,) * nd + (ci,)
+    yin = jnp.maximum(x * a.reshape(bshape) + b.reshape(bshape), 0)
+    dn = ("NDHWC", "DHWIO", "NDHWC") if nd == 3 else ("NHWC", "HWIO", "NHWC")
+    ref = jax.lax.conv_general_dilated(yin, w, (1,) * nd, "SAME",
+                                       dimension_numbers=dn)
+    fn = pc.conv3d_same_pro_stats if nd == 3 else pc.conv2d_same_pro_stats
+    y, m, q = fn(x, a, b, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    red = tuple(range(1, y.ndim - 1))
+    np.testing.assert_allclose(np.asarray(m), np.asarray(jnp.mean(y, axis=red)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(q),
+                               np.asarray(jnp.mean(jnp.square(y), axis=red)),
+                               rtol=1e-5, atol=1e-6)
