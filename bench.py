@@ -33,7 +33,7 @@ import numpy as np
 TORCH_CPU_BASELINE_VOLS_PER_S = 0.00544  # see module docstring
 
 
-def main():
+def main(wd=None):
     import jax
     import jax.numpy as jnp
 
@@ -123,6 +123,8 @@ def main():
 
     # tunnel + compile warmup (first fetch in a process is minutes on axon)
     float(jnp.ones(()).sum())
+    if wd is not None:
+        wd.pet(40 * 60)  # tunnel alive: fresh budget for the compiles
     peak = peak_tflops(jax.devices()[0].device_kind)
 
     results = {}
@@ -153,8 +155,14 @@ def main():
                 continue
             finally:
                 fastconv.set_packing("auto")
-            mode_times[mode] = round(thr_m * 1e3, 1)
-            if best is None or thr_m < best[2]:
+            if wd is not None:
+                wd.pet(25 * 60)  # fresh budget per measured arm/config
+            mode_times[mode] = {"lat_ms": round(lat_m * 1e3, 1),
+                                "thr_ms": round(thr_m * 1e3, 1)}
+            # pick by latency: that is the published headline metric
+            # (volumes_per_s = 1/lat) — selecting on pipelined throughput
+            # could regress the round-over-round headline
+            if best is None or lat_m < best[1]:
                 best = (mode, lat_m, thr_m)
         if best is None:  # every mode failed; the headline must not crash
             results[f"patch{patch}"] = {"error": f"{type(err).__name__}: {err}"[:200]}
@@ -209,36 +217,72 @@ def main():
     )
 
 
-def _arm_watchdog(seconds: float):
+def _last_recorded_bench():
+    """The newest BENCH_r*.json next to this file (the driver records one
+    per round) — reported as ``last_measured`` when the watchdog fires, so
+    the fallback JSON never cites stale hand-maintained numbers."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            rec = json.load(f)
+    except Exception:
+        return None
+    rec = rec.get("parsed", rec)  # driver wraps the JSON line in "parsed"
+    if not isinstance(rec, dict) or rec.get("value") is None:
+        return None
+    return {k: rec.get(k) for k in ("value", "unit", "vs_baseline")} | {
+        "from": os.path.basename(best[1])}
+
+
+class _Watchdog:
     """The axon tunnel can die outright (backend init then blocks forever —
     docs/ROUND4_NOTES.md): make sure the driver still gets its ONE JSON
-    line instead of an indefinite hang."""
-    import os
-    import threading
+    line instead of an indefinite hang. ``pet(s)`` re-arms with a fresh
+    budget after each completed phase, so a healthy-but-slow run (two
+    packing arms + two configs each need their own compiles) is never
+    killed mid-measurement while a dead tunnel still fails fast."""
 
-    def fire():
+    def __init__(self, seconds: float):
+        import threading
+
+        self._threading = threading
+        self._timer = None
+        self.pet(seconds)
+
+    def _fire(self, seconds):
+        import os
+
         print(json.dumps({
             "metric": "ct_volumes_per_sec_per_chip_sliding_window",
             "value": 0.0,
-            "unit": f"volumes/s (BENCH WATCHDOG: no result within "
+            "unit": f"volumes/s (BENCH WATCHDOG: no progress within "
                     f"{int(seconds / 60)} min — TPU tunnel likely down)",
             "vs_baseline": None,
-            "extra": {
-                "last_measured": {
-                    "value": 6.81,
-                    "unit": "volumes/s (64^3 cross-coset 128-chunks, "
-                            "round 3; 8.43 pipelined)",
-                    "vs_baseline": 1252,
-                    "see": "docs/BENCHMARKS.md headline table",
-                },
-            },
+            "extra": {"last_measured": _last_recorded_bench()},
         }), flush=True)
         os._exit(2)
 
-    t = threading.Timer(seconds, fire)
-    t.daemon = True
-    t.start()
-    return t
+    def pet(self, seconds: float):
+        if self._timer is not None:
+            self._timer.cancel()
+        self._timer = self._threading.Timer(seconds, self._fire, (seconds,))
+        self._timer.daemon = True
+        self._timer.start()
+
+    def cancel(self):
+        if self._timer is not None:
+            self._timer.cancel()
 
 
 if __name__ == "__main__":
@@ -246,6 +290,6 @@ if __name__ == "__main__":
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    wd = _arm_watchdog(45 * 60)
-    main()
+    wd = _Watchdog(45 * 60)
+    main(wd)
     wd.cancel()

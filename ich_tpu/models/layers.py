@@ -214,9 +214,11 @@ class ConvBlock(nn.Module):
         # their output statistics from VMEM (epilogue — the norms skip
         # their whole-activation stats pass), and bn1's normalize + relu
         # fold into conv2's A-build as a (B, C) affine prologue. Per block
-        # that removes three of the six HBM activation passes. The fused
-        # kernels have no VJP, so the train path keeps the unfused chain;
-        # param trees are identical either way.
+        # that removes three of the six HBM activation passes. The train
+        # path keeps the unfused chain (the fusion only pays on the eval
+        # HBM-traffic profile); eval-mode grads (saliency/heatmaps) still
+        # work — the fused fastconv cores carry custom VJPs over the
+        # unfused composition. Param trees are identical either way.
         fuse = (
             not train
             and not self.gated

@@ -193,33 +193,28 @@ def packed_conv(
     return out.reshape((b,) + full + (c_out,))
 
 
-def conv_same_pro(
-    x: jax.Array,
-    sc: jax.Array,
-    sh: jax.Array,
-    w: jax.Array,
-    precision=None,
-) -> jax.Array:
-    """``conv_same(relu(x * sc + sh), w)`` with the per-(sample, channel)
-    affine + ReLU fused into the pallas kernel's A-build when the mode is
-    "pallas" and the shape qualifies (eval only — the fused kernels define
-    no VJP; callers gate on ``train=False``). ``sc``/``sh``: (B, C_in) —
-    GroupNorm's normalize with its statistics folded
-    (:class:`ich_tpu.models.layers.FlatGroupNorm`). Falls back to the
-    unfused composition everywhere else, so outputs are always defined."""
-    n = x.ndim - 2
-    if _MODE == "pallas":
-        from ich_tpu.ops import pallas_conv
-
-        if n == 3 and pallas_conv.qualifies(x.shape, w.shape, x.dtype.itemsize):
-            return pallas_conv.conv3d_same_pro(x, sc, sh, w)
-        if n == 2 and pallas_conv.qualifies2d(x.shape, w.shape, x.dtype.itemsize):
-            return pallas_conv.conv2d_same_pro(x, sc, sh, w)
-    shape = (x.shape[0],) + (1,) * n + (x.shape[-1],)
-    y = jnp.maximum(
+def _affine_relu(x: jax.Array, sc: jax.Array, sh: jax.Array) -> jax.Array:
+    """``relu(x * sc + sh)`` with (B, C) affines broadcast over the spatial
+    axes — the unfused form of the pallas prologue."""
+    shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+    return jnp.maximum(
         x * sc.astype(x.dtype).reshape(shape) + sh.astype(x.dtype).reshape(shape), 0
     )
-    return conv_same(y, w, precision=precision)
+
+
+def _pallas_fused(x: jax.Array, w: jax.Array, suffix: str):
+    """The qualifying fused pallas entry point (``conv{2,3}d_same_<suffix>``)
+    for this shape under mode "pallas", else ``None``."""
+    if _MODE != "pallas":
+        return None
+    from ich_tpu.ops import pallas_conv
+
+    n = x.ndim - 2
+    if n == 3 and pallas_conv.qualifies(x.shape, w.shape, x.dtype.itemsize):
+        return getattr(pallas_conv, f"conv3d_same_{suffix}")
+    if n == 2 and pallas_conv.qualifies2d(x.shape, w.shape, x.dtype.itemsize):
+        return getattr(pallas_conv, f"conv2d_same_{suffix}")
+    return None
 
 
 def _spatial_stats(y: jax.Array):
@@ -230,41 +225,135 @@ def _spatial_stats(y: jax.Array):
     return jnp.mean(yf, axis=red), jnp.mean(jnp.square(yf), axis=red)
 
 
+# The fused forms are primarily eval-path optimizations, but eval-mode
+# applies still get differentiated (saliency / FCDD-style grad heatmaps /
+# adversarial probes), and the raw pallas_call wrappers define no VJP. Each
+# fused core therefore carries a custom VJP whose backward differentiates
+# the equivalent unfused composition (identical math; the input grad still
+# rides the kernel via conv_same's own VJP when the shape qualifies).
+
+
+@jax.custom_vjp
+def _pro_core(x, sc, sh, w):
+    fn = _pallas_fused(x, w, "pro")
+    if fn is not None:
+        return fn(x, sc, sh, w)
+    return conv_same(_affine_relu(x, sc, sh), w)
+
+
+def _pro_ref(x, sc, sh, w):
+    return conv_same(_affine_relu(x, sc, sh), w)
+
+
+def _pro_fwd(x, sc, sh, w):
+    return _pro_core(x, sc, sh, w), (x, sc, sh, w)
+
+
+def _pro_bwd(res, dy):
+    _, vjp = jax.vjp(_pro_ref, *res)
+    return vjp(dy)
+
+
+_pro_core.defvjp(_pro_fwd, _pro_bwd)
+
+
+@jax.custom_vjp
+def _stats_core(x, w):
+    fn = _pallas_fused(x, w, "stats")
+    if fn is not None:
+        return fn(x, w)
+    y = conv_same(x, w)
+    return (y,) + _spatial_stats(y)
+
+
+def _stats_ref(x, w):
+    y = conv_same(x, w)
+    return (y,) + _spatial_stats(y)
+
+
+def _stats_fwd(x, w):
+    return _stats_core(x, w), (x, w)
+
+
+def _stats_bwd(res, dy):
+    _, vjp = jax.vjp(_stats_ref, *res)
+    return vjp(dy)
+
+
+_stats_core.defvjp(_stats_fwd, _stats_bwd)
+
+
+@jax.custom_vjp
+def _pro_stats_core(x, sc, sh, w):
+    fn = _pallas_fused(x, w, "pro_stats")
+    if fn is not None:
+        return fn(x, sc, sh, w)
+    y = conv_same(_affine_relu(x, sc, sh), w)
+    return (y,) + _spatial_stats(y)
+
+
+def _pro_stats_ref(x, sc, sh, w):
+    y = conv_same(_affine_relu(x, sc, sh), w)
+    return (y,) + _spatial_stats(y)
+
+
+def _pro_stats_fwd(x, sc, sh, w):
+    return _pro_stats_core(x, sc, sh, w), (x, sc, sh, w)
+
+
+def _pro_stats_bwd(res, dy):
+    _, vjp = jax.vjp(_pro_stats_ref, *res)
+    return vjp(dy)
+
+
+_pro_stats_core.defvjp(_pro_stats_fwd, _pro_stats_bwd)
+
+
+def conv_same_pro(
+    x: jax.Array,
+    sc: jax.Array,
+    sh: jax.Array,
+    w: jax.Array,
+    precision=None,
+) -> jax.Array:
+    """``conv_same(relu(x * sc + sh), w)`` with the per-(sample, channel)
+    affine + ReLU fused into the pallas kernel's A-build when the mode is
+    "pallas" and the shape qualifies. ``sc``/``sh``: (B, C_in) — GroupNorm's
+    normalize with its statistics folded
+    (:class:`ich_tpu.models.layers.FlatGroupNorm`). Falls back to the
+    unfused composition everywhere else, so outputs are always defined.
+    Differentiable: the fused core's custom VJP differentiates the unfused
+    composition (eval-mode grads — saliency, FCDD heatmaps — keep working)."""
+    if precision is not None:
+        return _pro_ref_precision(x, sc, sh, w, precision)
+    return _pro_core(x, sc, sh, w)
+
+
+def _pro_ref_precision(x, sc, sh, w, precision):
+    return conv_same(_affine_relu(x, sc, sh), w, precision=precision)
+
+
 def conv_same_stats(x: jax.Array, w: jax.Array, precision=None):
     """``(conv_same(x, w), mean, mean_sq)`` — epilogue-fused on the pallas
     kernel (the stats come from the VMEM-resident output, so the following
     GroupNorm skips its whole-activation HBM stats pass); elsewhere the
     stats are plain reductions FlatGroupNorm would have run anyway.
-    Eval-only on the kernel path (no VJP)."""
-    n = x.ndim - 2
-    if _MODE == "pallas":
-        from ich_tpu.ops import pallas_conv
-
-        if n == 3 and pallas_conv.qualifies(x.shape, w.shape, x.dtype.itemsize):
-            return pallas_conv.conv3d_same_stats(x, w)
-        if n == 2 and pallas_conv.qualifies2d(x.shape, w.shape, x.dtype.itemsize):
-            return pallas_conv.conv2d_same_stats(x, w)
-    y = conv_same(x, w, precision=precision)
-    return (y,) + _spatial_stats(y)
+    Differentiable (custom VJP over the unfused composition)."""
+    if precision is not None:
+        y = conv_same(x, w, precision=precision)
+        return (y,) + _spatial_stats(y)
+    return _stats_core(x, w)
 
 
 def conv_same_pro_stats(x: jax.Array, sc: jax.Array, sh: jax.Array,
                         w: jax.Array, precision=None):
     """:func:`conv_same_pro` + the epilogue statistics of
-    :func:`conv_same_stats`. Eval-only on the kernel path."""
-    n = x.ndim - 2
-    if _MODE == "pallas":
-        from ich_tpu.ops import pallas_conv
-
-        if n == 3 and pallas_conv.qualifies(x.shape, w.shape, x.dtype.itemsize):
-            return pallas_conv.conv3d_same_pro_stats(x, sc, sh, w)
-        if n == 2 and pallas_conv.qualifies2d(x.shape, w.shape, x.dtype.itemsize):
-            return pallas_conv.conv2d_same_pro_stats(x, sc, sh, w)
-    shape = (x.shape[0],) + (1,) * n + (x.shape[-1],)
-    y = jnp.maximum(
-        x * sc.astype(x.dtype).reshape(shape) + sh.astype(x.dtype).reshape(shape), 0
-    )
-    return conv_same_stats(y, w, precision=precision)
+    :func:`conv_same_stats`. Differentiable (custom VJP over the unfused
+    composition)."""
+    if precision is not None:
+        y = conv_same(_affine_relu(x, sc, sh), w, precision=precision)
+        return (y,) + _spatial_stats(y)
+    return _pro_stats_core(x, sc, sh, w)
 
 
 def conv_same(

@@ -209,86 +209,89 @@ def _finish_stats(st, n):
     return s[:, 0] / n, s[:, 1] / n
 
 
-@functools.partial(jax.jit, static_argnames=("co", "interpret", "stats"))
-def _conv3d(x, w2, co: int, interpret: bool, stats: bool = False):
-    b, d, h, w, ci = x.shape
-    wt = _wtile(co)
-    wa = wt + 2
-    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (1, wa - 3), (0, 0)])
-    # fuse (W, C) so blocks move lane-dense (see _emit)
-    xp = xp.reshape(b, d + 2, h + 2, (w + wt) * ci)
-    specs = [
-        pl.BlockSpec((1, 1, h + 2, (w + wt) * ci),
-                     (lambda bi, di, kd=kd: (bi, di + kd, 0, 0)),
-                     memory_space=pltpu.VMEM)
-        for kd in range(3)
-    ]
-    in_specs = specs + [pl.BlockSpec(w2.shape, lambda bi, di: (0, 0),
-                                     memory_space=pltpu.VMEM)]
-    out_spec = pl.BlockSpec((1, 1, h, w * co), lambda bi, di: (bi, di, 0, 0),
-                            memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((b, d, h, w * co), x.dtype)
+def _wspec(w2):
+    """Whole packed-weight matrix resident in VMEM at every grid step."""
+    return pl.BlockSpec(w2.shape, lambda bi, si: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _affine_tiles(asc, bsh, x, w_ext, wci):
+    """(B, C) affines tiled over the fused (w-position, ci) minor axis, plus
+    their per-grid-step BlockSpec."""
+    at = jnp.tile(asc.astype(x.dtype), (1, w_ext))
+    bt = jnp.tile(bsh.astype(x.dtype), (1, w_ext))
+    vec = pl.BlockSpec((1, wci), lambda bi, si: (bi, 0),
+                       memory_space=pltpu.VMEM)
+    return at, bt, vec
+
+
+def _run(kern, kern_st, grid, in_specs, inputs, out_spec, out_shape,
+         st_specs, n_elems, final_shape, interpret, stats):
+    """Single pallas_call dispatch site for all eight variants
+    (stats/non-stats x plain/prologue x 2D/3D): a spec/params change edits
+    one place instead of eight."""
     if stats:
-        st_spec, st_shape = _stats3d_specs(b, d, co)
+        st_spec, st_shape = st_specs
         out, st = pl.pallas_call(
-            functools.partial(_kernel_st, h=h, w=w, ci=ci, co=co),
-            grid=(b, d), in_specs=in_specs,
+            kern_st, grid=grid, in_specs=in_specs,
             out_specs=(out_spec, st_spec), out_shape=(out_shape, st_shape),
             interpret=interpret,
-        )(xp, xp, xp, w2)
-        m, q = _finish_stats(st, d * h * w)
-        return out.reshape(b, d, h, w, co), m, q
+        )(*inputs)
+        m, q = _finish_stats(st, n_elems)
+        return out.reshape(final_shape), m, q
     out = pl.pallas_call(
-        functools.partial(_kernel, h=h, w=w, ci=ci, co=co),
-        grid=(b, d), in_specs=in_specs,
-        out_specs=out_spec, out_shape=out_shape,
-        interpret=interpret,
-    )(xp, xp, xp, w2)
-    return out.reshape(b, d, h, w, co)
+        kern, grid=grid, in_specs=in_specs,
+        out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+    )(*inputs)
+    return out.reshape(final_shape)
 
 
-@functools.partial(jax.jit, static_argnames=("co", "interpret", "stats"))
-def _conv3d_pro(x, asc, bsh, w2, co: int, interpret: bool, stats: bool = False):
+def _prep3d(x, co):
+    """Shared 3D padding/blocking: SAME-pad, fuse (W, C) so blocks move
+    lane-dense (see _emit), and build the three overlapping depth-plane
+    specs + the output spec."""
     b, d, h, w, ci = x.shape
     wt = _wtile(co)
     wa = wt + 2
     wci = (w + wt) * ci
     xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (1, wa - 3), (0, 0)])
     xp = xp.reshape(b, d + 2, h + 2, wci)
-    # (B, C) affines tiled over the fused (w-position, ci) minor axis
-    at = jnp.tile(asc.astype(x.dtype), (1, w + wt))
-    bt = jnp.tile(bsh.astype(x.dtype), (1, w + wt))
     specs = [
         pl.BlockSpec((1, 1, h + 2, wci),
                      (lambda bi, di, kd=kd: (bi, di + kd, 0, 0)),
                      memory_space=pltpu.VMEM)
         for kd in range(3)
     ]
-    vec = pl.BlockSpec((1, wci), lambda bi, di: (bi, 0),
-                       memory_space=pltpu.VMEM)
-    in_specs = specs + [vec, vec,
-                        pl.BlockSpec(w2.shape, lambda bi, di: (0, 0),
-                                     memory_space=pltpu.VMEM)]
     out_spec = pl.BlockSpec((1, 1, h, w * co), lambda bi, di: (bi, di, 0, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b, d, h, w * co), x.dtype)
-    if stats:
-        st_spec, st_shape = _stats3d_specs(b, d, co)
-        out, st = pl.pallas_call(
-            functools.partial(_kernel_pro_st, h=h, w=w, ci=ci, co=co, d=d),
-            grid=(b, d), in_specs=in_specs,
-            out_specs=(out_spec, st_spec), out_shape=(out_shape, st_shape),
-            interpret=interpret,
-        )(xp, xp, xp, at, bt, w2)
-        m, q = _finish_stats(st, d * h * w)
-        return out.reshape(b, d, h, w, co), m, q
-    out = pl.pallas_call(
-        functools.partial(_kernel_pro, h=h, w=w, ci=ci, co=co, d=d),
-        grid=(b, d), in_specs=in_specs,
-        out_specs=out_spec, out_shape=out_shape,
-        interpret=interpret,
-    )(xp, xp, xp, at, bt, w2)
-    return out.reshape(b, d, h, w, co)
+    return xp, wci, specs, out_spec, out_shape
+
+
+@functools.partial(jax.jit, static_argnames=("co", "interpret", "stats"))
+def _conv3d(x, w2, co: int, interpret: bool, stats: bool = False):
+    b, d, h, w, ci = x.shape
+    xp, _, specs, out_spec, out_shape = _prep3d(x, co)
+    kw = dict(h=h, w=w, ci=ci, co=co)
+    return _run(functools.partial(_kernel, **kw),
+                functools.partial(_kernel_st, **kw),
+                (b, d), specs + [_wspec(w2)], (xp, xp, xp, w2),
+                out_spec, out_shape, _stats3d_specs(b, d, co),
+                d * h * w, (b, d, h, w, co), interpret, stats)
+
+
+@functools.partial(jax.jit, static_argnames=("co", "interpret", "stats"))
+def _conv3d_pro(x, asc, bsh, w2, co: int, interpret: bool, stats: bool = False):
+    b, d, h, w, ci = x.shape
+    xp, wci, specs, out_spec, out_shape = _prep3d(x, co)
+    at, bt, vec = _affine_tiles(asc, bsh, x, w + _wtile(co), wci)
+    kw = dict(h=h, w=w, ci=ci, co=co, d=d)
+    return _run(functools.partial(_kernel_pro, **kw),
+                functools.partial(_kernel_pro_st, **kw),
+                (b, d), specs + [vec, vec, _wspec(w2)],
+                (xp, xp, xp, at, bt, w2), out_spec, out_shape,
+                _stats3d_specs(b, d, co), d * h * w, (b, d, h, w, co),
+                interpret, stats)
 
 
 def conv3d_same_pro(x: jax.Array, asc: jax.Array, bsh: jax.Array,
@@ -451,26 +454,12 @@ def _stats2d_specs(b, nh, co):
 def _conv2d(x, w2, co: int, interpret: bool, stats: bool = False):
     b, h, w, ci = x.shape
     xq, ht, nh, wci, spec0, spec1, out_spec, out_shape = _prep2d(x, co)
-    in_specs = [spec0, spec1,
-                pl.BlockSpec(w2.shape, lambda bi, hi: (0, 0),
-                             memory_space=pltpu.VMEM)]
-    if stats:
-        st_spec, st_shape = _stats2d_specs(b, nh, co)
-        out, st = pl.pallas_call(
-            functools.partial(_kernel2d_st, ht=ht, w=w, ci=ci, co=co),
-            grid=(b, nh), in_specs=in_specs,
-            out_specs=(out_spec, st_spec), out_shape=(out_shape, st_shape),
-            interpret=interpret,
-        )(xq, xq, w2)
-        m, q = _finish_stats(st, h * w)
-        return out.reshape(b, h, w, co), m, q
-    out = pl.pallas_call(
-        functools.partial(_kernel2d, ht=ht, w=w, ci=ci, co=co),
-        grid=(b, nh), in_specs=in_specs,
-        out_specs=out_spec, out_shape=out_shape,
-        interpret=interpret,
-    )(xq, xq, w2)
-    return out.reshape(b, h, w, co)
+    kw = dict(ht=ht, w=w, ci=ci, co=co)
+    return _run(functools.partial(_kernel2d, **kw),
+                functools.partial(_kernel2d_st, **kw),
+                (b, nh), [spec0, spec1, _wspec(w2)], (xq, xq, w2),
+                out_spec, out_shape, _stats2d_specs(b, nh, co),
+                h * w, (b, h, w, co), interpret, stats)
 
 
 def _pro2d(x0, x1, asc, bsh, *, ht, h, w, ci, co):
@@ -498,32 +487,15 @@ def _kernel2d_pro_st(x0, x1, asc, bsh, w2, out, st, *, ht, h, w, ci, co):
 @functools.partial(jax.jit, static_argnames=("co", "interpret", "stats"))
 def _conv2d_pro(x, asc, bsh, w2, co: int, interpret: bool, stats: bool = False):
     b, h, w, ci = x.shape
-    wt = _wtile(co)
     xq, ht, nh, wci, spec0, spec1, out_spec, out_shape = _prep2d(x, co)
-    at = jnp.tile(asc.astype(x.dtype), (1, w + wt))
-    bt = jnp.tile(bsh.astype(x.dtype), (1, w + wt))
-    vec = pl.BlockSpec((1, wci), lambda bi, hi: (bi, 0),
-                       memory_space=pltpu.VMEM)
-    in_specs = [spec0, spec1, vec, vec,
-                pl.BlockSpec(w2.shape, lambda bi, hi: (0, 0),
-                             memory_space=pltpu.VMEM)]
-    if stats:
-        st_spec, st_shape = _stats2d_specs(b, nh, co)
-        out, st = pl.pallas_call(
-            functools.partial(_kernel2d_pro_st, ht=ht, h=h, w=w, ci=ci, co=co),
-            grid=(b, nh), in_specs=in_specs,
-            out_specs=(out_spec, st_spec), out_shape=(out_shape, st_shape),
-            interpret=interpret,
-        )(xq, xq, at, bt, w2)
-        m, q = _finish_stats(st, h * w)
-        return out.reshape(b, h, w, co), m, q
-    out = pl.pallas_call(
-        functools.partial(_kernel2d_pro, ht=ht, h=h, w=w, ci=ci, co=co),
-        grid=(b, nh), in_specs=in_specs,
-        out_specs=out_spec, out_shape=out_shape,
-        interpret=interpret,
-    )(xq, xq, at, bt, w2)
-    return out.reshape(b, h, w, co)
+    at, bt, vec = _affine_tiles(asc, bsh, x, w + _wtile(co), wci)
+    kw = dict(ht=ht, h=h, w=w, ci=ci, co=co)
+    return _run(functools.partial(_kernel2d_pro, **kw),
+                functools.partial(_kernel2d_pro_st, **kw),
+                (b, nh), [spec0, spec1, vec, vec, _wspec(w2)],
+                (xq, xq, at, bt, w2), out_spec, out_shape,
+                _stats2d_specs(b, nh, co), h * w, (b, h, w, co),
+                interpret, stats)
 
 
 def conv2d_same_pro(x: jax.Array, asc: jax.Array, bsh: jax.Array,

@@ -172,16 +172,17 @@ def test_kernel_property_sweep():
     spot-check per ndim. Guards the window algebra across tile choices."""
     rng = np.random.default_rng(2024)
     cases = []
-    for _ in range(6):
+    for i in range(6):
         co = int(rng.choice([8, 16, 32]))
         wt = 128 // co
         ci = int(rng.choice([1, 8, 16, 32, 48]))
-        nd = int(rng.choice([2, 3]))
+        nd = 2 if i % 2 == 0 else 3  # three cases per ndim
         w = wt * int(rng.integers(2, 5))
         h = int(rng.choice([8, 16]) if nd == 2 else rng.integers(4, 9))
         d = int(rng.integers(3, 6))
         xs = (1,) + ((d, h, w) if nd == 3 else (h * (2 if nd == 2 else 1), w)) + (ci,)
         cases.append((nd, xs, (3,) * nd + (ci, co)))
+    grad_checked = set()
     for nd, xs, ws in cases:
         q = pc.qualifies(xs, ws) if nd == 3 else pc.qualifies2d(xs, ws)
         if not q:
@@ -189,11 +190,25 @@ def test_kernel_property_sweep():
         x = jnp.asarray(rng.uniform(-1, 1, size=xs).astype(np.float32))
         w = jnp.asarray((rng.uniform(-1, 1, size=ws) * 0.2).astype(np.float32))
         dn = ("NDHWC", "DHWIO", "NDHWC") if nd == 3 else ("NHWC", "HWIO", "NHWC")
-        ref = jax.lax.conv_general_dilated(x, w, (1,) * nd, "SAME",
-                                           dimension_numbers=dn)
-        got = (pc.conv3d_same if nd == 3 else pc.conv2d_same)(x, w)
+        ref_fn = lambda xi, wi: jax.lax.conv_general_dilated(
+            xi, wi, (1,) * nd, "SAME", dimension_numbers=dn)
+        pk_fn = pc.conv3d_same if nd == 3 else pc.conv2d_same
+        ref = ref_fn(x, w)
+        got = pk_fn(x, w)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4, err_msg=str((nd, xs, ws)))
+        if nd not in grad_checked:  # one grad spot-check per ndim
+            grad_checked.add(nd)
+            cot = jnp.asarray(rng.uniform(-1, 1, size=ref.shape).astype(np.float32))
+            gx_r, gw_r = jax.grad(
+                lambda xi, wi: jnp.sum(ref_fn(xi, wi) * cot), argnums=(0, 1))(x, w)
+            gx_p, gw_p = jax.grad(
+                lambda xi, wi: jnp.sum(pk_fn(xi, wi) * cot), argnums=(0, 1))(x, w)
+            np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                                       rtol=1e-3, atol=1e-3, err_msg=str((nd, xs, ws)))
+            np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
+                                       rtol=1e-3, atol=1e-3, err_msg=str((nd, xs, ws)))
+    assert grad_checked == {2, 3}, f"grad coverage incomplete: {grad_checked}"
 
 
 @pytest.mark.parametrize("ci,co", [(16, 16), (16, 32), (8, 8)])
@@ -267,6 +282,34 @@ def test_convblock_gn_prologue_fusion(ndim):
         fastconv.set_packing("auto")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_convblock_eval_grad_pallas(ndim):
+    """jax.grad through an *eval*-mode fused ConvBlock (pallas mode) must
+    work — saliency/FCDD-style heatmaps differentiate eval applies. The
+    fused fastconv cores carry custom VJPs over the unfused composition, so
+    input grads match the direct-conv network."""
+    from ich_tpu.models.layers import ConvBlock
+    from ich_tpu.ops import fastconv
+
+    rng = np.random.default_rng(100 + ndim)
+    spatial = (8, 16) if ndim == 2 else (4, 8, 16)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2,) + spatial + (16,)).astype(np.float32))
+    blk = ConvBlock(out_channels=16, ndim=ndim, norm="group", p_dropout=0.0)
+    v = blk.init(jax.random.PRNGKey(0), x)
+
+    def loss(xi):
+        return jnp.sum(jnp.square(blk.apply(v, xi, train=False)))
+
+    ref = jax.grad(loss)(x)
+    fastconv.set_packing("pallas")
+    try:
+        got = jax.grad(loss)(x)
+    finally:
+        fastconv.set_packing("auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
 
 
 @pytest.mark.parametrize("nd,ci,co", [(3, 16, 16), (3, 16, 32), (2, 16, 32), (2, 16, 16)])
