@@ -137,16 +137,26 @@ def main(wd=None):
         run = make_run(patch, batch)
         # 64^3 headline: self-selecting packing A/B — the pallas
         # implicit-GEMM kernel (+ GN-prologue fusion) targets exactly this
-        # eval path, so measure both modes and keep the faster (both are
-        # recorded). The memoized inference programs key on packing_key(),
-        # so the two arms never share a stale executable. 128^3 stays on
-        # the default mode (its shapes exceed the kernel's VMEM gate).
-        modes = ("auto", "pallas") if patch == 64 else ("auto",)
+        # eval path, so measure the modes and keep the fastest (all are
+        # recorded). "pallas64" additionally routes the half-lane C_out=64
+        # level through the kernel. The memoized inference programs key on
+        # packing_key() (which folds the enabled-couts set in), so arms
+        # never share a stale executable. 128^3 stays on the default mode
+        # (its shapes exceed the kernel's VMEM gate).
+        from ich_tpu.ops import pallas_conv
+
+        arms = {"auto": ("auto", None),
+                "pallas": ("pallas", pallas_conv.DEFAULT_COUTS),
+                "pallas64": ("pallas", pallas_conv.COUTS)}
+        modes = tuple(arms) if patch == 64 else ("auto",)
         best = None
         mode_times = {}
         err = None
         for mode in modes:
-            fastconv.set_packing(mode)
+            pk, couts = arms[mode]
+            fastconv.set_packing(pk)
+            if couts is not None:
+                pallas_conv.set_enabled_couts(couts)
             try:
                 lat_m, thr_m = timed(run)
             except Exception as e:
@@ -155,6 +165,7 @@ def main(wd=None):
                 continue
             finally:
                 fastconv.set_packing("auto")
+                pallas_conv.set_enabled_couts(pallas_conv.DEFAULT_COUTS)
             if wd is not None:
                 wd.pet(25 * 60)  # fresh budget per measured arm/config
             mode_times[mode] = {"lat_ms": round(lat_m * 1e3, 1),

@@ -65,7 +65,14 @@ def main() -> None:
         (2, 16, 256, 32, 32),          # 2D flagship top level (bs16 256^2)
         (2, 16, 256, 1, 32),           # 2D stem conv
         (2, 16, 256, 64, 32),          # 2D decoder concat conv
+        # C_out=64 (wt=2, 3/4-dense — 1.5x ceiling over 50%-lane direct):
+        # opt-in in the library; measured here to decide the "pallas64" arm
+        (3, args.batch, 16, 32, 64),   # 3D level-3 entry conv (64^3 patch)
+        (3, args.batch, 16, 64, 64),   # 3D level-3 double conv
+        (2, 16, 64, 32, 64),           # 2D level-3 entry (256^2 flagship)
+        (2, 16, 64, 64, 64),           # 2D level-3 double conv
     ]
+    pallas_conv.set_enabled_couts(pallas_conv.COUTS)  # gate measures all
     rng = np.random.default_rng(0)
     results = {}
     for nd, b, sp, ci, co in shapes:

@@ -1,7 +1,7 @@
 """Stage-2 A/B for the pallas implicit-GEMM conv: full sliding-window
 inference (bench.py's flagship 64-cube workload) with ``fastconv`` packing
 "auto" (XLA direct convs) vs "pallas" (implicit-GEMM on the qualifying
-C_out∈{8,16,32} levels).
+C_out∈{8,16,32} levels) vs "pallas64" (also the half-lane C_out=64 levels).
 
 Run on the real chip after the stage-1 micro-gate
 (benchmarks/pallas_conv_gate.py) wins >= 1.25x:
@@ -19,6 +19,40 @@ import time
 
 import numpy as np
 
+# Each arm is (fastconv packing mode, pallas enabled C_out set). "pallas64"
+# additionally routes the half-lane co=64 level-2 convs through the kernel
+# (wt=2, 3/4-dense packed weights — 1.5x ceiling); it is default-off in the
+# library pending this gate. Memoized programs key on packing_key(), which
+# folds the couts set in, so arms never share a stale executable.
+ARMS = {
+    "auto": ("auto", None),
+    "pallas": ("pallas", (8, 16, 32)),
+    "pallas64": ("pallas", (8, 16, 32, 64)),
+}
+
+
+def _set_arm(tag: str) -> None:
+    from ich_tpu.ops import fastconv, pallas_conv
+
+    mode, couts = ARMS[tag]
+    fastconv.set_packing(mode)
+    pallas_conv.set_enabled_couts(couts or pallas_conv.DEFAULT_COUTS)
+
+
+def _reset_arm() -> None:
+    from ich_tpu.ops import fastconv, pallas_conv
+
+    fastconv.set_packing("auto")
+    pallas_conv.set_enabled_couts(pallas_conv.DEFAULT_COUTS)
+
+
+def _speedups(results: dict) -> dict:
+    base = results.get("auto")
+    if base is None:
+        return {}
+    return {f"{k}_speedup": round(base / v, 3)
+            for k, v in results.items() if k != "auto"}
+
 
 def train_ab(reps: int) -> None:
     """3D train-step A/B (bs8 64^3, the BENCHMARKS.md parity config): the
@@ -29,7 +63,7 @@ def train_ab(reps: int) -> None:
     import jax.numpy as jnp
 
     from ich_tpu.models import UNet
-    from ich_tpu.ops import fastconv
+    from ich_tpu.ops import fastconv  # noqa: F401 (arm helpers own the mode)
     from ich_tpu.train import UNet3D
 
     rng = np.random.default_rng(0)
@@ -37,8 +71,8 @@ def train_ab(reps: int) -> None:
     msks = jnp.asarray((rng.uniform(size=(8, 64, 64, 64)) > 0.995).astype(np.float32))
     key = jax.random.PRNGKey(0)
     results = {}
-    for mode in ("auto", "pallas"):
-        fastconv.set_packing(mode)
+    for mode in ARMS:
+        _set_arm(mode)
         try:
             # identical to train_step_bench.bench_3d(64, 8, aug=True) so the
             # "auto" arm reproduces the BENCHMARKS.md 78.8 ms row
@@ -64,14 +98,14 @@ def train_ab(reps: int) -> None:
         except Exception as e:  # pragma: no cover - hardware probe
             print(f"train {mode:8s} FAILED: {type(e).__name__}: {e}", flush=True)
         finally:
-            fastconv.set_packing("auto")
-    if len(results) == 2:
+            _reset_arm()
+    if "auto" in results and "pallas" in results:
         print(json.dumps({
             "metric": "pallas_train_step_speedup",
             "value": round(results["auto"] / results["pallas"], 3),
             "unit": "x",
-            "auto_ms": round(results["auto"] * 1e3, 1),
-            "pallas_ms": round(results["pallas"] * 1e3, 1),
+            "arms_ms": {k: round(v * 1e3, 1) for k, v in results.items()},
+            **_speedups(results),
         }))
 
 
@@ -84,7 +118,7 @@ def train2d_ab(reps: int) -> None:
 
     from ich_tpu.experiments.supervised2d import build_augment_fn
     from ich_tpu.models import UNet
-    from ich_tpu.ops import fastconv
+    from ich_tpu.ops import fastconv  # noqa: F401 (arm helpers own the mode)
     from ich_tpu.train import UNet2D
 
     rng = np.random.default_rng(0)
@@ -92,8 +126,8 @@ def train2d_ab(reps: int) -> None:
     msks = jnp.asarray((rng.uniform(size=(16, 256, 256)) > 0.98).astype(np.float32))
     key = jax.random.PRNGKey(0)
     results = {}
-    for mode in ("auto", "pallas"):
-        fastconv.set_packing(mode)
+    for mode in ARMS:
+        _set_arm(mode)
         try:
             # identical to train_step_bench.bench_2d so the "auto" arm
             # reproduces the BENCHMARKS.md 40.1 ms flagship row
@@ -123,14 +157,14 @@ def train2d_ab(reps: int) -> None:
         except Exception as e:  # pragma: no cover - hardware probe
             print(f"train2d {mode:8s} FAILED: {type(e).__name__}: {e}", flush=True)
         finally:
-            fastconv.set_packing("auto")
-    if len(results) == 2:
+            _reset_arm()
+    if "auto" in results and "pallas" in results:
         print(json.dumps({
             "metric": "pallas_train2d_step_speedup",
             "value": round(results["auto"] / results["pallas"], 3),
             "unit": "x",
-            "auto_ms": round(results["auto"] * 1e3, 1),
-            "pallas_ms": round(results["pallas"] * 1e3, 1),
+            "arms_ms": {k: round(v * 1e3, 1) for k, v in results.items()},
+            **_speedups(results),
         }))
 
 
@@ -182,8 +216,8 @@ def main() -> None:
 
     results = {}
     outs = {}
-    for mode in ("auto", "pallas"):
-        fastconv.set_packing(mode)
+    for mode in ARMS:
+        _set_arm(mode)
         try:
             outs[mode] = run(vol_hu)
             sync(outs[mode])  # compile + warm
@@ -197,20 +231,21 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - hardware probe
             print(f"{mode:8s} FAILED: {type(e).__name__}: {e}", flush=True)
         finally:
-            fastconv.set_packing("auto")
+            _reset_arm()
 
-    if "auto" in outs and "pallas" in outs:
-        diff = float(jnp.max(jnp.abs(
-            outs["auto"].astype(jnp.float32) - outs["pallas"].astype(jnp.float32))))
-        print(f"max |auto - pallas| on the fused volume: {diff:.4f}", flush=True)
+    for tag in ("pallas", "pallas64"):
+        if "auto" in outs and tag in outs:
+            diff = float(jnp.max(jnp.abs(
+                outs["auto"].astype(jnp.float32) - outs[tag].astype(jnp.float32))))
+            print(f"max |auto - {tag}| on the fused volume: {diff:.4f}", flush=True)
 
-    if len(results) == 2:
+    if "auto" in results and "pallas" in results:
         print(json.dumps({
             "metric": "pallas_in_net_speedup",
             "value": round(results["auto"] / results["pallas"], 3),
             "unit": "x",
-            "auto_ms": round(results["auto"] * 1e3, 1),
-            "pallas_ms": round(results["pallas"] * 1e3, 1),
+            "arms_ms": {k: round(v * 1e3, 1) for k, v in results.items()},
+            **_speedups(results),
         }))
 
 

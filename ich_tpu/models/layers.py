@@ -224,7 +224,7 @@ class ConvBlock(nn.Module):
             and not self.gated
             and self.norm == "group"
             and self.kernel_size == 3
-            and fastconv.packing_key() == "pallas"
+            and fastconv.packing_key().startswith("pallas")
         )
         if fuse:
             x, m1, q1 = PConv(mid, k, dtype=self.dtype, name="conv1")(

@@ -62,7 +62,15 @@ def packing_key() -> str:
     jitted programs containing convs (sliding-window inference, the
     trainers' whole-volume programs) must include this in its cache key —
     otherwise a ``set_packing`` change silently reuses the stale
-    executable."""
+    executable. Under mode "pallas" a non-default enabled-C_out set
+    (``pallas_conv.set_enabled_couts``) is folded in for the same reason;
+    mode checks should use ``startswith("pallas")``."""
+    if _MODE == "pallas":
+        from ich_tpu.ops import pallas_conv
+
+        cs = pallas_conv.enabled_couts()
+        if cs != pallas_conv.DEFAULT_COUTS:
+            return "pallas:" + ",".join(map(str, cs))
     return _MODE
 
 

@@ -1,4 +1,4 @@
-"""Pallas implicit-GEMM 3D conv for the lane-bound C_out∈{8,16,32} levels.
+"""Pallas implicit-GEMM 3D conv for the lane-bound C_out∈{8,16,32,64} levels.
 
 Every XLA-level lane-fill transformation for the top U-Net levels is a
 measured negative (depth-to-space / block-space round 2, grouped convs
@@ -24,7 +24,8 @@ to 128 lanes in VMEM/HBM (8-16x DMA inflation); the window algebra is
 unchanged because the fused windows stay contiguous. The packed weights ``W2[K, (dw,co)] = W[kd, kh, wa-dw, ci, co]``
 (zero unless ``wa-dw`` in {0,1,2}) are ``3/(WTILE+2)`` dense — the MXU runs
 ``(WTILE+2)/3``x the useful MACs (3.33x at C_out=16, 2x at C_out=32, 6x at
-C_out=8) but at the full 128-lane rate instead of ``C_out/128``, e.g. a
+C_out=8, 1.33x at C_out=64) but at the full 128-lane rate instead of
+``C_out/128``, e.g. a
 ~1.9x ceiling over XLA's direct conv at the 16->16 64-cube shape (measured
 29.9 TF/s direct, round 2).
 
@@ -46,7 +47,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128        # MXU lane budget: WTILE w-offsets x C_out channels
-COUTS = (8, 16, 32)
+COUTS = (8, 16, 32, 64)       # kernel-supported C_out (lane tile 128//co)
+# Enabled by default: the measured lane-bound levels. C_out=64 (wt=2,
+# packed weights 3/4 dense — a 1.5x ceiling over XLA's 50%-lane direct
+# conv) is opt-in via set_enabled_couts pending its TPU gate
+# (benchmarks/pallas_conv_gate.py).
+DEFAULT_COUTS = (8, 16, 32)
+_enabled = frozenset(DEFAULT_COUTS)
+
+
+def set_enabled_couts(couts) -> None:
+    """Which C_out values :func:`qualifies`/<:func:`qualifies2d` accept.
+    Programs are memoized on ``fastconv.packing_key()``, which folds this
+    set in — changing it never reuses a stale executable."""
+    global _enabled
+    couts = tuple(int(c) for c in couts)
+    bad = set(couts) - set(COUTS)
+    if bad:
+        raise ValueError(f"unsupported C_out values {sorted(bad)}; "
+                         f"kernel supports {COUTS}")
+    _enabled = frozenset(couts)
+
+
+def enabled_couts():
+    return tuple(sorted(_enabled))
 
 
 def _wtile(co: int) -> int:
@@ -54,16 +78,16 @@ def _wtile(co: int) -> int:
 
 
 def qualifies(x_shape, w_shape, itemsize: int = 2) -> bool:
-    """3D SAME stride-1 3x3x3 conv, C_out in {8, 16, 32}, W a multiple of
-    the lane tile (128/C_out), plane small enough for VMEM (A-matrix +
-    slabs <= ~8 MB). ``itemsize`` is the activation dtype's byte width (the
+    """3D SAME stride-1 3x3x3 conv, C_out in :func:`enabled_couts`, W a
+    multiple of the lane tile (128/C_out), plane small enough for VMEM
+    (A-matrix + slabs <= ~8 MB). ``itemsize`` is the activation dtype's byte width (the
     kernel computes in x's dtype, so a float32 activation doubles the
     footprint vs the bf16 default)."""
     if len(x_shape) != 5 or len(w_shape) != 5:
         return False
     b, d, h, w, ci = x_shape
     co = w_shape[4]
-    if w_shape[:3] != (3, 3, 3) or w_shape[3] != ci or co not in COUTS:
+    if w_shape[:3] != (3, 3, 3) or w_shape[3] != ci or co not in _enabled:
         return False
     wt = _wtile(co)
     if w % wt or w < 2 * wt or h < 4:
@@ -355,13 +379,13 @@ def _htile2d(h: int, w: int, ci: int, co: int, itemsize: int):
 
 
 def qualifies2d(x_shape, w_shape, itemsize: int = 2) -> bool:
-    """2D SAME stride-1 3x3 conv, C_out in {8, 16, 32}, W a multiple of the
-    lane tile, and an H-tile whose working set fits VMEM."""
+    """2D SAME stride-1 3x3 conv, C_out in :func:`enabled_couts`, W a
+    multiple of the lane tile, and an H-tile whose working set fits VMEM."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return False
     b, h, w, ci = x_shape
     co = w_shape[3]
-    if w_shape[:2] != (3, 3) or w_shape[2] != ci or co not in COUTS:
+    if w_shape[:2] != (3, 3) or w_shape[2] != ci or co not in _enabled:
         return False
     wt = _wtile(co)
     if w % wt or w < 2 * wt or h < 8:

@@ -40,6 +40,41 @@ def test_conv3d_same_other_couts(ci, co):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("nd", [2, 3])
+def test_conv_same_cout64_optin(nd):
+    """C_out=64 (wt=2, 3/4-dense packed weights) is kernel-supported but
+    disabled by default pending its TPU gate; set_enabled_couts turns it on
+    and the forward matches XLA. packing_key folds the non-default set in
+    so memoized programs never go stale."""
+    from ich_tpu.ops import fastconv
+
+    ci, co = 32, 64
+    xs = (1,) + ((4, 8, 16) if nd == 3 else (16, 32)) + (ci,)
+    ws = (3,) * nd + (ci, co)
+    q = pc.qualifies if nd == 3 else pc.qualifies2d
+    assert not q(xs, ws)  # default-off
+    fastconv.set_packing("pallas")
+    pc.set_enabled_couts((8, 16, 32, 64))
+    try:
+        assert q(xs, ws)
+        assert fastconv.packing_key() == "pallas:8,16,32,64"
+        rng = np.random.default_rng(64 + nd)
+        x = jnp.asarray(rng.uniform(-1, 1, size=xs).astype(np.float32))
+        w = jnp.asarray((rng.uniform(-1, 1, size=ws) * 0.2).astype(np.float32))
+        dn = ("NDHWC", "DHWIO", "NDHWC") if nd == 3 else ("NHWC", "HWIO", "NHWC")
+        ref = jax.lax.conv_general_dilated(x, w, (1,) * nd, "SAME",
+                                           dimension_numbers=dn)
+        got = (pc.conv3d_same if nd == 3 else pc.conv2d_same)(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+    finally:
+        pc.set_enabled_couts(pc.DEFAULT_COUTS)
+        fastconv.set_packing("auto")
+    assert fastconv.packing_key() == "auto"
+    with pytest.raises(ValueError):
+        pc.set_enabled_couts((8, 48))
+
+
 def test_conv3d_same_bf16():
     """bf16 activations/weights (the serving dtype) stay on the kernel path
     and match the XLA conv at bf16 tolerance."""
@@ -60,7 +95,7 @@ def test_qualifies_gates():
     assert pc.qualifies(ok, wk)
     assert not pc.qualifies((2, 5, 8, 12, 16), wk)       # W % WTILE != 0
     assert pc.qualifies(ok, (3, 3, 3, 16, 32))           # C_out=32: WTILE=4
-    assert not pc.qualifies(ok, (3, 3, 3, 16, 64))       # C_out=64 unsupported
+    assert not pc.qualifies(ok, (3, 3, 3, 16, 64))       # C_out=64 opt-in only
     assert not pc.qualifies(ok, (5, 3, 3, 16, 16))       # kernel != 3^3
     assert not pc.qualifies((2, 5, 8, 16, 12), (3, 3, 3, 12, 16))  # ci % 8
     assert pc.qualifies((2, 5, 8, 16, 64), (3, 3, 3, 64, 16))      # wide ci ok
