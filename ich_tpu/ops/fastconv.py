@@ -37,12 +37,17 @@ import numpy as np
 # packing_active() for the measured rationale; "on" forces packing wherever
 # the shape qualifies (tests + experimentation); "off" disables it.
 # ICH_TPU_PACKING overrides the initial mode so serving CLIs can enable the
-# pallas kernel without code changes (set_packing still wins afterwards).
+# pallas kernel without code changes (set_packing still wins afterwards);
+# "pallas64" = mode "pallas" with the opt-in C_out=64 kernel level enabled
+# (pallas_conv.set_enabled_couts), matching the bench/A-B arm of that name.
 import os as _os
 
 _MODE = _os.environ.get("ICH_TPU_PACKING", "auto")
+if _MODE == "pallas64":
+    _MODE = "pallas"  # pallas_conv reads the same env var for the couts
 if _MODE not in ("auto", "on", "off", "pallas"):  # pragma: no cover
-    raise ValueError(f"ICH_TPU_PACKING must be auto/on/off/pallas, got {_MODE!r}")
+    raise ValueError(
+        f"ICH_TPU_PACKING must be auto/on/off/pallas/pallas64, got {_MODE!r}")
 
 
 def set_packing(mode: str) -> None:

@@ -53,7 +53,12 @@ COUTS = (8, 16, 32, 64)       # kernel-supported C_out (lane tile 128//co)
 # conv) is opt-in via set_enabled_couts pending its TPU gate
 # (benchmarks/pallas_conv_gate.py).
 DEFAULT_COUTS = (8, 16, 32)
-_enabled = frozenset(DEFAULT_COUTS)
+import os as _os
+
+# ICH_TPU_PACKING=pallas64 (see fastconv) also enables the C_out=64 level
+_enabled = frozenset(
+    COUTS if _os.environ.get("ICH_TPU_PACKING") == "pallas64"
+    else DEFAULT_COUTS)
 
 
 def set_enabled_couts(couts) -> None:
