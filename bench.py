@@ -148,7 +148,10 @@ def main(wd=None):
         arms = {"auto": ("auto", None),
                 "pallas": ("pallas", pallas_conv.DEFAULT_COUTS),
                 "pallas64": ("pallas", pallas_conv.COUTS)}
-        modes = tuple(arms) if patch == 64 else ("auto",)
+        # patch128 gets a two-arm A/B only (its level-0 C=16 convs qualify
+        # — the A-matrix sits exactly at the kernel's VMEM cap; the extra
+        # pallas64 arm is explored by benchmarks/pallas_in_net_ab.py first)
+        modes = tuple(arms) if patch == 64 else ("auto", "pallas")
         best = None
         mode_times = {}
         err = None
