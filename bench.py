@@ -141,16 +141,15 @@ def main(wd=None):
         # recorded). "pallas64" additionally routes the half-lane C_out=64
         # level through the kernel. The memoized inference programs key on
         # packing_key() (which folds the enabled-couts set in), so arms
-        # never share a stale executable. 128^3 stays on the default mode
-        # (its shapes exceed the kernel's VMEM gate).
+        # never share a stale executable.
         from ich_tpu.ops import pallas_conv
 
         arms = {"auto": ("auto", None),
                 "pallas": ("pallas", pallas_conv.DEFAULT_COUTS),
                 "pallas64": ("pallas", pallas_conv.COUTS)}
-        # patch128 gets a two-arm A/B only (its level-0 C=16 convs qualify
-        # — the A-matrix sits exactly at the kernel's VMEM cap; the extra
-        # pallas64 arm is explored by benchmarks/pallas_in_net_ab.py first)
+        # patch128 gets a two-arm A/B only: its level-0 C=16 convs qualify
+        # (the A-matrix sits exactly at the kernel's VMEM cap); the extra
+        # pallas64 arm is explored by benchmarks/pallas_in_net_ab.py first.
         modes = tuple(arms) if patch == 64 else ("auto", "pallas")
         best = None
         mode_times = {}
@@ -169,8 +168,10 @@ def main(wd=None):
             finally:
                 fastconv.set_packing("auto")
                 pallas_conv.set_enabled_couts(pallas_conv.DEFAULT_COUTS)
-            if wd is not None:
-                wd.pet(25 * 60)  # fresh budget per measured arm/config
+                if wd is not None:
+                    # fresh budget per finished arm, measured OR failed: a
+                    # slow Mosaic failure must not starve the next arm
+                    wd.pet(25 * 60)
             mode_times[mode] = {"lat_ms": round(lat_m * 1e3, 1),
                                 "thr_ms": round(thr_m * 1e3, 1)}
             # pick by latency: that is the published headline metric
@@ -250,27 +251,35 @@ def _last_recorded_bench():
     try:
         with open(best[1]) as f:
             rec = json.load(f)
+        rec = rec.get("parsed", rec)  # driver wraps the JSON line in "parsed"
+        if not isinstance(rec, dict) or rec.get("value") is None:
+            return None
+        return {k: rec.get(k) for k in ("value", "unit", "vs_baseline")} | {
+            "from": os.path.basename(best[1])}
     except Exception:
+        # any malformed record must not break the watchdog's fire path
         return None
-    rec = rec.get("parsed", rec)  # driver wraps the JSON line in "parsed"
-    if not isinstance(rec, dict) or rec.get("value") is None:
-        return None
-    return {k: rec.get(k) for k in ("value", "unit", "vs_baseline")} | {
-        "from": os.path.basename(best[1])}
 
 
 class _Watchdog:
     """The axon tunnel can die outright (backend init then blocks forever —
     docs/ROUND4_NOTES.md): make sure the driver still gets its ONE JSON
     line instead of an indefinite hang. ``pet(s)`` re-arms with a fresh
-    budget after each completed phase, so a healthy-but-slow run (two
-    packing arms + two configs each need their own compiles) is never
-    killed mid-measurement while a dead tunnel still fails fast."""
+    budget after each completed phase, so a healthy-but-slow run (several
+    packing arms x two configs, each with its own compiles) is never
+    killed mid-measurement while a dead tunnel still fails fast. A hard
+    ``total`` deadline caps the sum of all budgets — callers (the TPU
+    queue, the driver) can rely on bench.py exiting, with a JSON line,
+    within that bound no matter how often it is petted."""
+
+    TOTAL = 100 * 60  # hard wall-clock cap across all pets
 
     def __init__(self, seconds: float):
         import threading
+        import time as _t
 
         self._threading = threading
+        self._deadline = _t.monotonic() + self.TOTAL
         self._timer = None
         self.pet(seconds)
 
@@ -288,8 +297,11 @@ class _Watchdog:
         os._exit(2)
 
     def pet(self, seconds: float):
+        import time as _t
+
         if self._timer is not None:
             self._timer.cancel()
+        seconds = max(1.0, min(seconds, self._deadline - _t.monotonic()))
         self._timer = self._threading.Timer(seconds, self._fire, (seconds,))
         self._timer.daemon = True
         self._timer.start()

@@ -19,24 +19,23 @@ import time
 
 import numpy as np
 
-# Each arm is (fastconv packing mode, pallas enabled C_out set). "pallas64"
-# additionally routes the half-lane co=64 level-2 convs through the kernel
-# (wt=2, 3/4-dense packed weights — 1.5x ceiling); it is default-off in the
-# library pending this gate. Memoized programs key on packing_key(), which
-# folds the couts set in, so arms never share a stale executable.
-ARMS = {
-    "auto": ("auto", None),
-    "pallas": ("pallas", (8, 16, 32)),
-    "pallas64": ("pallas", (8, 16, 32, 64)),
-}
+# Each arm is (fastconv packing mode, pallas enabled C_out set) — the
+# couts come from pallas_conv's own constants so the arm named "pallas64"
+# here always means the same enabled set as bench.py's arm of that name.
+# "pallas64" additionally routes the half-lane co=64 levels through the
+# kernel (wt=2, 3/4-dense packed weights — 1.5x ceiling); it is
+# default-off in the library pending this gate. Memoized programs key on
+# packing_key(), which folds the couts set in, so arms never share a
+# stale executable.
+ARMS = ("auto", "pallas", "pallas64")
 
 
 def _set_arm(tag: str) -> None:
     from ich_tpu.ops import fastconv, pallas_conv
 
-    mode, couts = ARMS[tag]
-    fastconv.set_packing(mode)
-    pallas_conv.set_enabled_couts(couts or pallas_conv.DEFAULT_COUTS)
+    fastconv.set_packing("auto" if tag == "auto" else "pallas")
+    pallas_conv.set_enabled_couts(
+        pallas_conv.COUTS if tag == "pallas64" else pallas_conv.DEFAULT_COUTS)
 
 
 def _reset_arm() -> None:
@@ -46,12 +45,22 @@ def _reset_arm() -> None:
     pallas_conv.set_enabled_couts(pallas_conv.DEFAULT_COUTS)
 
 
-def _speedups(results: dict) -> dict:
+def _emit_json(metric: str, results: dict) -> None:
+    """One machine-readable line whenever auto plus ANY kernel arm
+    succeeded — a Mosaic failure in one arm must not discard the others'
+    measurements."""
     base = results.get("auto")
-    if base is None:
-        return {}
-    return {f"{k}_speedup": round(base / v, 3)
-            for k, v in results.items() if k != "auto"}
+    others = {k: v for k, v in results.items() if k != "auto"}
+    if base is None or not others:
+        return
+    ref = others.get("pallas", next(iter(others.values())))
+    print(json.dumps({
+        "metric": metric,
+        "value": round(base / ref, 3),
+        "unit": "x",
+        "arms_ms": {k: round(v * 1e3, 1) for k, v in results.items()},
+        **{f"{k}_speedup": round(base / v, 3) for k, v in others.items()},
+    }))
 
 
 def train_ab(reps: int) -> None:
@@ -99,14 +108,7 @@ def train_ab(reps: int) -> None:
             print(f"train {mode:8s} FAILED: {type(e).__name__}: {e}", flush=True)
         finally:
             _reset_arm()
-    if "auto" in results and "pallas" in results:
-        print(json.dumps({
-            "metric": "pallas_train_step_speedup",
-            "value": round(results["auto"] / results["pallas"], 3),
-            "unit": "x",
-            "arms_ms": {k: round(v * 1e3, 1) for k, v in results.items()},
-            **_speedups(results),
-        }))
+    _emit_json("pallas_train_step_speedup", results)
 
 
 def train2d_ab(reps: int) -> None:
@@ -158,14 +160,7 @@ def train2d_ab(reps: int) -> None:
             print(f"train2d {mode:8s} FAILED: {type(e).__name__}: {e}", flush=True)
         finally:
             _reset_arm()
-    if "auto" in results and "pallas" in results:
-        print(json.dumps({
-            "metric": "pallas_train2d_step_speedup",
-            "value": round(results["auto"] / results["pallas"], 3),
-            "unit": "x",
-            "arms_ms": {k: round(v * 1e3, 1) for k, v in results.items()},
-            **_speedups(results),
-        }))
+    _emit_json("pallas_train2d_step_speedup", results)
 
 
 def main() -> None:
@@ -239,14 +234,7 @@ def main() -> None:
                 outs["auto"].astype(jnp.float32) - outs[tag].astype(jnp.float32))))
             print(f"max |auto - {tag}| on the fused volume: {diff:.4f}", flush=True)
 
-    if "auto" in results and "pallas" in results:
-        print(json.dumps({
-            "metric": "pallas_in_net_speedup",
-            "value": round(results["auto"] / results["pallas"], 3),
-            "unit": "x",
-            "arms_ms": {k: round(v * 1e3, 1) for k, v in results.items()},
-            **_speedups(results),
-        }))
+    _emit_json("pallas_in_net_speedup", results)
 
 
 if __name__ == "__main__":

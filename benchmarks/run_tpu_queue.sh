@@ -17,7 +17,7 @@ run 2700 python benchmarks/pallas_in_net_ab.py --train  # 3D train A/B
 run 2700 python benchmarks/pallas_in_net_ab.py --train2d # 2D train A/B
 run 2700 python benchmarks/train_step_bench.py --only gan_bs64  # remat bs64
 run 1800 python benchmarks/infer_overhead_probe.py      # GN share at b128 64^3
-run 5400 python bench.py                                # headline JSON (A/B arms + re-armed watchdog can exceed 60 min)
+run 6600 python bench.py   # headline JSON (watchdog hard cap 100 min)
 # Remaining time: pool two more label-efficiency seeds (~55 min each),
 # then refresh the aggregate report over all seed dirs in /tmp/le_multi.
 run 4500 python benchmarks/label_efficiency_bench.py --seed 48 --out /tmp/le_multi/seed48

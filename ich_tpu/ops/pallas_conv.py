@@ -62,7 +62,7 @@ _enabled = frozenset(
 
 
 def set_enabled_couts(couts) -> None:
-    """Which C_out values :func:`qualifies`/<:func:`qualifies2d` accept.
+    """Which C_out values :func:`qualifies`/:func:`qualifies2d` accept.
     Programs are memoized on ``fastconv.packing_key()``, which folds this
     set in — changing it never reuses a stale executable."""
     global _enabled
@@ -560,9 +560,9 @@ def _direct2d(x, w):
 
 @jax.custom_vjp
 def conv2d_same(x: jax.Array, w: jax.Array) -> jax.Array:
-    """SAME stride-1 3x3 conv with C_out in {8, 16, 32} on the 2D
-    implicit-GEMM kernel. x: (B, H, W, Ci); w: (3, 3, Ci, Co). Same custom
-    VJP structure as :func:`conv3d_same`."""
+    """SAME stride-1 3x3 conv with C_out in :func:`enabled_couts` on the
+    2D implicit-GEMM kernel. x: (B, H, W, Ci); w: (3, 3, Ci, Co). Same
+    custom VJP structure as :func:`conv3d_same`."""
     return _conv2d_same_impl(x, w)
 
 
@@ -599,7 +599,7 @@ def _direct(x, w):
 
 @jax.custom_vjp
 def conv3d_same(x: jax.Array, w: jax.Array) -> jax.Array:
-    """SAME stride-1 3x3x3 conv with C_out in {8, 16, 32} on the
+    """SAME stride-1 3x3x3 conv with C_out in :func:`enabled_couts` on the
     implicit-GEMM kernel. x: (B, D, H, W, Ci); w: (3, 3, 3, Ci, Co).
     Output dtype follows x (accumulation is f32 inside the matmul).
 
