@@ -163,6 +163,43 @@ def train2d_ab(reps: int) -> None:
     _emit_json("pallas_train2d_step_speedup", results)
 
 
+def infer2d_ab(reps: int) -> None:
+    """2D eval-forward A/B at the throughput config (bs128 256^2, the 934
+    slices/s BENCHMARKS.md row). BatchNorm folds to a constant affine at
+    eval, so this isolates the plain 2D kernel on the co=32 (and, in the
+    pallas64 arm, co=64) levels."""
+    import jax
+    import jax.numpy as jnp
+
+    from ich_tpu.models import UNet
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(128, 256, 256, 1)).astype(np.float32))
+    net = UNet(depth=5, ndim=2, top_filter=32, midchannels_factor=2,
+               p_dropout=0.5, norm="batch", dtype=jnp.bfloat16)
+    v = net.init(jax.random.PRNGKey(0), x[:1])
+    results = {}
+    for mode in ARMS:
+        _set_arm(mode)
+        try:
+            fwd = jax.jit(lambda xi: net.apply(v, xi, train=False))
+            out = fwd(x)
+            _ = float(out.reshape(-1)[0])  # compile + sync
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fwd(x)
+            _ = float(out.reshape(-1)[0])
+            dt = (time.perf_counter() - t0) / reps
+            results[mode] = dt
+            print(f"infer2d {mode:8s} {dt * 1e3:8.1f} ms/batch "
+                  f"({128 / dt:.0f} slices/s)", flush=True)
+        except Exception as e:  # pragma: no cover - hardware probe
+            print(f"infer2d {mode:8s} FAILED: {type(e).__name__}: {e}", flush=True)
+        finally:
+            _reset_arm()
+    _emit_json("pallas_infer2d_speedup", results)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
@@ -170,6 +207,8 @@ def main() -> None:
                     help="A/B the 3D train step instead of sliding-window inference")
     ap.add_argument("--train2d", action="store_true",
                     help="A/B the 2D flagship train step")
+    ap.add_argument("--infer2d", action="store_true",
+                    help="A/B the 2D bs128 eval forward (throughput row)")
     args = ap.parse_args()
 
     import jax
@@ -184,6 +223,9 @@ def main() -> None:
         return
     if args.train2d:
         train2d_ab(args.reps)
+        return
+    if args.infer2d:
+        infer2d_ab(args.reps)
         return
 
     from ich_tpu.models import UNet

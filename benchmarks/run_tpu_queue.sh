@@ -15,6 +15,7 @@ run 2700 python benchmarks/pallas_conv_gate.py          # 7-shape micro-gate
 run 2700 python benchmarks/pallas_in_net_ab.py          # 3D inference A/B
 run 2700 python benchmarks/pallas_in_net_ab.py --train  # 3D train A/B
 run 2700 python benchmarks/pallas_in_net_ab.py --train2d # 2D train A/B
+run 1800 python benchmarks/pallas_in_net_ab.py --infer2d # 2D bs128 eval A/B
 run 2700 python benchmarks/train_step_bench.py --only gan_bs64  # remat bs64
 run 1800 python benchmarks/infer_overhead_probe.py      # GN share at b128 64^3
 run 6600 python bench.py   # headline JSON (watchdog hard cap 100 min)
