@@ -28,6 +28,9 @@ import numpy as np
 # packing_key(), which folds the couts set in, so arms never share a
 # stale executable.
 ARMS = ("auto", "pallas", "pallas64")
+# train-only extra arm: GN prologue/epilogue fusion applied to the train
+# forward too (fastconv.set_fuse_train — identical math, custom-VJP grads)
+TRAIN_ARMS = ARMS + ("pallas_ft",)
 
 
 def _set_arm(tag: str) -> None:
@@ -36,6 +39,7 @@ def _set_arm(tag: str) -> None:
     fastconv.set_packing("auto" if tag == "auto" else "pallas")
     pallas_conv.set_enabled_couts(
         pallas_conv.COUTS if tag == "pallas64" else pallas_conv.DEFAULT_COUTS)
+    fastconv.set_fuse_train(tag == "pallas_ft")
 
 
 def _reset_arm() -> None:
@@ -43,6 +47,7 @@ def _reset_arm() -> None:
 
     fastconv.set_packing("auto")
     pallas_conv.set_enabled_couts(pallas_conv.DEFAULT_COUTS)
+    fastconv.set_fuse_train(False)
 
 
 def _emit_json(metric: str, results: dict) -> None:
@@ -80,7 +85,7 @@ def train_ab(reps: int) -> None:
     msks = jnp.asarray((rng.uniform(size=(8, 64, 64, 64)) > 0.995).astype(np.float32))
     key = jax.random.PRNGKey(0)
     results = {}
-    for mode in ARMS:
+    for mode in TRAIN_ARMS:
         _set_arm(mode)
         try:
             # identical to train_step_bench.bench_3d(64, 8, aug=True) so the

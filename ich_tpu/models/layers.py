@@ -215,12 +215,13 @@ class ConvBlock(nn.Module):
         # their whole-activation stats pass), and bn1's normalize + relu
         # fold into conv2's A-build as a (B, C) affine prologue. Per block
         # that removes three of the six HBM activation passes. The train
-        # path keeps the unfused chain (the fusion only pays on the eval
-        # HBM-traffic profile); eval-mode grads (saliency/heatmaps) still
-        # work — the fused fastconv cores carry custom VJPs over the
-        # unfused composition. Param trees are identical either way.
+        # path keeps the unfused chain by default; fastconv.set_fuse_train
+        # opts training in (the fused cores' custom VJPs differentiate the
+        # exact unfused composition, so grads are identical — eval-mode
+        # grads/saliency work the same way). Param trees are identical
+        # either way.
         fuse = (
-            not train
+            (not train or fastconv.fuse_train())
             and not self.gated
             and self.norm == "group"
             and self.kernel_size == 3

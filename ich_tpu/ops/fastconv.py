@@ -50,6 +50,26 @@ if _MODE not in ("auto", "on", "off", "pallas"):  # pragma: no cover
         f"ICH_TPU_PACKING must be auto/on/off/pallas/pallas64, got {_MODE!r}")
 
 
+_FUSE_TRAIN = _os.environ.get("ICH_TPU_FUSE_TRAIN", "0") == "1"
+
+
+def set_fuse_train(on: bool) -> None:
+    """Opt-in: apply the GN prologue/epilogue conv fusion on the *training*
+    path too (mode "pallas", GroupNorm ConvBlocks). Mathematically
+    identical — the fused cores' custom VJPs differentiate the exact
+    unfused composition, and the recomputed conv in the backward trace is
+    dead code XLA eliminates (only the cheap elementwise affine+relu is
+    re-evaluated for the mask). Folded into :func:`packing_key` so
+    memoized train programs retrace on toggle. Default off pending its
+    TPU A/B (benchmarks/pallas_in_net_ab.py --train)."""
+    global _FUSE_TRAIN
+    _FUSE_TRAIN = bool(on)
+
+
+def fuse_train() -> bool:
+    return _FUSE_TRAIN
+
+
 def set_packing(mode: str) -> None:
     """"auto"/"off": direct conv; "on": depth-to-space lane packing;
     "pallas": the implicit-GEMM kernel for qualifying C_out∈{8,16,32} 2D
@@ -73,9 +93,13 @@ def packing_key() -> str:
     if _MODE == "pallas":
         from ich_tpu.ops import pallas_conv
 
+        key = _MODE
         cs = pallas_conv.enabled_couts()
         if cs != pallas_conv.DEFAULT_COUTS:
-            return "pallas:" + ",".join(map(str, cs))
+            key = "pallas:" + ",".join(map(str, cs))
+        if _FUSE_TRAIN:
+            key += "+ft"
+        return key
     return _MODE
 
 

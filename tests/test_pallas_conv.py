@@ -347,6 +347,43 @@ def test_convblock_eval_grad_pallas(ndim):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_convblock_train_fusion_optin(ndim):
+    """set_fuse_train(True) routes the *training* forward through the
+    GN-fused kernels; outputs and param grads match the unfused chain
+    (the fused cores' VJPs differentiate the exact composition), and
+    packing_key() reflects the flag so memoized train programs retrace."""
+    from ich_tpu.models.layers import ConvBlock
+    from ich_tpu.ops import fastconv
+
+    rng = np.random.default_rng(200 + ndim)
+    spatial = (8, 16) if ndim == 2 else (4, 8, 16)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2,) + spatial + (16,)).astype(np.float32))
+    blk = ConvBlock(out_channels=16, ndim=ndim, norm="group", p_dropout=0.0)
+    v = blk.init(jax.random.PRNGKey(0), x)
+
+    def loss(vi):
+        return jnp.sum(jnp.square(blk.apply(vi, x, train=True)))
+
+    ref_y = blk.apply(v, x, train=True)
+    ref_g = jax.grad(loss)(v)
+    fastconv.set_packing("pallas")
+    fastconv.set_fuse_train(True)
+    try:
+        assert fastconv.packing_key() == "pallas+ft"
+        got_y = blk.apply(v, x, train=True)
+        got_g = jax.grad(loss)(v)
+    finally:
+        fastconv.set_fuse_train(False)
+        fastconv.set_packing("auto")
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(ref_y),
+                               rtol=2e-4, atol=2e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-3),
+        ref_g, got_g)
+
+
 @pytest.mark.parametrize("nd,ci,co", [(3, 16, 16), (3, 16, 32), (2, 16, 32), (2, 16, 16)])
 def test_conv_same_stats_epilogue(nd, ci, co):
     """The epilogue stats outputs equal per-(sample, channel) mean and
