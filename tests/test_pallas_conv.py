@@ -319,6 +319,29 @@ def test_convblock_gn_prologue_fusion(ndim):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_convblock_gn_fusion_bf16():
+    """The serving/bench net runs bf16: the fused eval path (prologue +
+    epilogue stats, bias shift) must match the unfused chain at bf16
+    tolerance on the dtype the TPU A/B actually measures."""
+    from ich_tpu.models.layers import ConvBlock
+    from ich_tpu.ops import fastconv
+
+    rng = np.random.default_rng(16)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2, 4, 8, 16, 16)), jnp.bfloat16)
+    blk = ConvBlock(out_channels=16, ndim=3, norm="group", p_dropout=0.0,
+                    dtype=jnp.bfloat16)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    ref = blk.apply(v, x, train=False)
+    fastconv.set_packing("pallas")
+    try:
+        got = blk.apply(v, x, train=False)
+    finally:
+        fastconv.set_packing("auto")
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.1, atol=0.05)
+
+
 @pytest.mark.parametrize("ndim", [2, 3])
 def test_convblock_eval_grad_pallas(ndim):
     """jax.grad through an *eval*-mode fused ConvBlock (pallas mode) must
