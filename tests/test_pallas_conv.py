@@ -246,6 +246,47 @@ def test_kernel_property_sweep():
     assert grad_checked == {2, 3}, f"grad coverage incomplete: {grad_checked}"
 
 
+@pytest.mark.slow  # ~6 interpret-mode fused kernels
+def test_fused_property_sweep():
+    """Randomized qualifying shapes through the prologue+epilogue fused
+    entry points (pro_stats) vs the unfused composition — guards the pad
+    masking and per-step stats reduction across tile choices, both ndims."""
+    rng = np.random.default_rng(4096)
+    for i in range(6):
+        co = int(rng.choice([8, 16, 32]))
+        wt = 128 // co
+        ci = int(rng.choice([8, 16, 32]))
+        nd = 2 if i % 2 == 0 else 3
+        w_sp = wt * int(rng.integers(2, 5))
+        h = int(rng.choice([8, 16, 32]) if nd == 2 else rng.integers(4, 9))
+        d = int(rng.integers(3, 6))
+        xs = (2,) + ((d, h, w_sp) if nd == 3 else (h * 2, w_sp)) + (ci,)
+        ws = (3,) * nd + (ci, co)
+        q = pc.qualifies(xs, ws) if nd == 3 else pc.qualifies2d(xs, ws)
+        assert q, (nd, xs, ws)
+        x = jnp.asarray(rng.uniform(-1, 1, size=xs).astype(np.float32))
+        w = jnp.asarray((rng.uniform(-1, 1, size=ws) * 0.2).astype(np.float32))
+        a = jnp.asarray(rng.uniform(0.5, 2.0, size=(2, ci)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(0.1, 1.0, size=(2, ci)).astype(np.float32))
+        bshape = (2,) + (1,) * nd + (ci,)
+        y = jnp.maximum(x * a.reshape(bshape) + b.reshape(bshape), 0)
+        dn = ("NDHWC", "DHWIO", "NDHWC") if nd == 3 else ("NHWC", "HWIO", "NHWC")
+        ref = jax.lax.conv_general_dilated(y, w, (1,) * nd, "SAME",
+                                           dimension_numbers=dn)
+        rf = ref.astype(jnp.float32)
+        red = tuple(range(1, rf.ndim - 1))
+        fn = pc.conv3d_same_pro_stats if nd == 3 else pc.conv2d_same_pro_stats
+        got, m, q_ = fn(x, a, b, w)
+        msg = str((nd, xs, ws))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4, err_msg=msg)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(jnp.mean(rf, red)),
+                                   rtol=2e-4, atol=2e-4, err_msg=msg)
+        np.testing.assert_allclose(
+            np.asarray(q_), np.asarray(jnp.mean(jnp.square(rf), red)),
+            rtol=2e-4, atol=2e-4, err_msg=msg)
+
+
 @pytest.mark.parametrize("ci,co", [(16, 16), (16, 32), (8, 8)])
 def test_conv3d_same_pro_matches_composition(ci, co):
     """Prologue-fused kernel == conv(relu(x*a+b), w): the GN-normalize+ReLU
