@@ -246,6 +246,66 @@ def test_kernel_property_sweep():
     assert grad_checked == {2, 3}, f"grad coverage incomplete: {grad_checked}"
 
 
+@pytest.mark.slow  # interpret-mode UNet with co=64 levels
+def test_pallas64_in_unet_forward():
+    """The pallas64 arm (C_out=64 enabled) inside a 3D U-Net whose level-2
+    convs are 64-channel: forward matches the direct-conv network."""
+    from ich_tpu.models import UNet
+    from ich_tpu.ops import fastconv
+
+    rng = np.random.default_rng(64)
+    net = UNet(depth=3, ndim=3, top_filter=32, p_dropout=0.0, norm="group")
+    x = jnp.asarray(rng.uniform(size=(1, 8, 8, 16, 1)).astype(np.float32))
+    v = net.init(jax.random.PRNGKey(0), x)
+    ref = net.apply(v, x, train=False)
+    fastconv.set_packing("pallas")
+    pc.set_enabled_couts(pc.COUTS)
+    try:
+        got = net.apply(v, x, train=False)
+    finally:
+        pc.set_enabled_couts(pc.DEFAULT_COUTS)
+        fastconv.set_packing("auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow  # interpret-mode fused train step through the trainer
+def test_fuse_train_trainer_step():
+    """One UNet3D train step with set_fuse_train(True) (mode "pallas")
+    reproduces the unfused step's loss — the fusion flag is safe through
+    the full trainer machinery (donated state, sampler keys, optimizer)."""
+    import jax as _jax
+
+    from ich_tpu.models import UNet
+    from ich_tpu.ops import fastconv
+    from ich_tpu.train import UNet3D
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(2, 8, 8, 16)).astype(np.float32))
+    msks = jnp.asarray((rng.uniform(size=(2, 8, 8, 16)) > 0.9).astype(np.float32))
+    key = _jax.random.PRNGKey(0)
+
+    def one_step():
+        net = UNet(depth=2, ndim=3, top_filter=16, p_dropout=0.0, norm="group")
+        tr = UNet3D(net, patch_size=(8, 8, 16), n_epoch=1, batch_size=2,
+                    lr=1e-3, loss_fn="BinaryDiceLoss",
+                    loss_fn_kwargs={"reduction": "mean"})
+        tr._ensure_state((8, 8, 16), steps_per_epoch=10)
+        step = tr._make_train_step()
+        _, loss = step(tr.state, imgs, msks, key)
+        return float(loss)
+
+    ref = one_step()
+    fastconv.set_packing("pallas")
+    fastconv.set_fuse_train(True)
+    try:
+        got = one_step()
+    finally:
+        fastconv.set_fuse_train(False)
+        fastconv.set_packing("auto")
+    assert abs(got - ref) < 1e-4, (got, ref)
+
+
 @pytest.mark.slow  # ~6 interpret-mode fused kernels
 def test_fused_property_sweep():
     """Randomized qualifying shapes through the prologue+epilogue fused
