@@ -16,6 +16,10 @@ Examples::
         --model model.pkl --mode 2.5d --size 256
     python scripts/serve.py --watch-dir /in --output-dir /out \
         --model model.pkl --mode 3d --patch 64 --once   # drain and exit
+
+Set ``ICH_TPU_PACKING=pallas`` (or ``pallas64``) to route the qualifying
+small-C_out convs through the implicit-GEMM kernel when the on-chip A/B
+(docs/BENCHMARKS.md "lane-bound levels") shows a win for the served shape.
 """
 
 import os
