@@ -234,31 +234,34 @@ def main(wd=None):
 
 def _last_recorded_bench():
     """The newest BENCH_r*.json next to this file (the driver records one
-    per round) — reported as ``last_measured`` when the watchdog fires, so
-    the fallback JSON never cites stale hand-maintained numbers."""
+    per round) *with a measured value* — reported as ``last_measured`` when
+    the watchdog/failure path fires, so the fallback JSON never cites stale
+    hand-maintained numbers. Rounds whose capture itself failed (round 3's
+    is ``parsed: null`` from the tunnel outage) are skipped, falling back
+    to the newest round that really measured something."""
     import glob
     import os
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best = None
+    recorded = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), p)
-    if best is None:
-        return None
-    try:
-        with open(best[1]) as f:
-            rec = json.load(f)
-        rec = rec.get("parsed", rec)  # driver wraps the JSON line in "parsed"
-        if not isinstance(rec, dict) or rec.get("value") is None:
-            return None
-        return {k: rec.get(k) for k in ("value", "unit", "vs_baseline")} | {
-            "from": os.path.basename(best[1])}
-    except Exception:
-        # any malformed record must not break the watchdog's fire path
-        return None
+        if m:
+            recorded.append((int(m.group(1)), p))
+    for _, path in sorted(recorded, reverse=True):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            rec = rec.get("parsed", rec)  # driver wraps the line in "parsed"
+            if not isinstance(rec, dict) or not rec.get("value"):
+                continue  # failed/zero capture: keep looking further back
+            return {k: rec.get(k) for k in ("value", "unit", "vs_baseline")
+                    } | {"from": os.path.basename(path)}
+        except Exception:
+            # any malformed record must not break the watchdog's fire path
+            continue
+    return None
 
 
 class _Watchdog:
@@ -314,8 +317,26 @@ class _Watchdog:
 if __name__ == "__main__":
     import os
     import sys
+    import traceback
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     wd = _Watchdog(45 * 60)
-    main(wd)
+    try:
+        main(wd)
+    except BaseException as e:  # noqa: BLE001 — the driver parses stdout;
+        # ANY failure (backend-init RuntimeError when the tunnel is dead,
+        # OOM, KeyboardInterrupt from the queue) must still emit the ONE
+        # JSON line — round 3's tunnel outage exited rc=1 with a traceback
+        # and the driver recorded `parsed: null`, losing the round number.
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "ct_volumes_per_sec_per_chip_sliding_window",
+            "value": 0.0,
+            "unit": "volumes/s (BENCH FAILED: "
+                    f"{type(e).__name__}: {e}"[:200] + ")",
+            "vs_baseline": None,
+            "extra": {"last_measured": _last_recorded_bench()},
+        }), flush=True)
+        wd.cancel()
+        sys.exit(0)  # the JSON line on stdout is the contract, not the rc
     wd.cancel()

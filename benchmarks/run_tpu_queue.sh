@@ -3,6 +3,9 @@
 # (docs/ROUND4_NOTES.md). One TPU client at a time; each stage bounded.
 # Usage: bash benchmarks/run_tpu_queue.sh   (log: /tmp/tpu_queue.log)
 cd "$(dirname "$0")/.."
+# `python benchmarks/x.py` puts benchmarks/ (not the repo) on sys.path —
+# ich_tpu must come from here; keep /root/.axon_site (the axon jax plugin).
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 log=/tmp/tpu_queue.log
 : > "$log"
 run() {
