@@ -1,30 +1,44 @@
 #!/bin/bash
-# TPU tunnel recovery watcher (VERDICT r3 "next round" item 1b).
+# TPU-tunnel recovery watcher (VERDICT r3 item 1b: keep this in the repo,
+# not /tmp — a reboot must not lose the auto-recovery path).
 #
-# The axon tunnel dies for hours at a time (docs/ROUND4_NOTES.md
-# "Environment incidents"): this watcher probes with a tiny bounded
-# matmul fetch every ~9 min and, the moment a probe succeeds, launches
-# the ordered TPU work queue (benchmarks/run_tpu_queue.sh) exactly once.
+# The axon TPU tunnel (/root/.tpu_init.py, a driver-managed stdio relay)
+# can die entirely and is not restartable from inside the box. This
+# watcher probes it every ~9 min with a tiny jitted fetch; on the first
+# success it launches the ordered TPU work queue exactly once.
 #
-# Usage:   nohup bash benchmarks/tpu_watch_queue.sh >/tmp/tpu_watch_queue.log 2>&1 &
-#          echo $! > /tmp/tpu_watch_queue.pid     # stop: kill $(cat ...pid)
-# Logs:    /tmp/tpu_watch_queue.log (probes), /tmp/tpu_queue.log (queue).
+#   Usage:  nohup bash benchmarks/tpu_watch_queue.sh [queue-script] \
+#               >/tmp/tpu_watch_queue.log 2>&1 &
+#   Probe log: /tmp/tpu_watch_queue.log   Queue log: /tmp/tpu_queue.log
 #
-# One TPU client at a time: the probe itself is the only client while
-# waiting, and the queue only starts after the probe process has exited.
+# One TPU client at a time: the probe itself is a client, so the watcher
+# must NOT run while other TPU work is in flight — it checks for an
+# existing queue run and exits rather than stacking clients.
+set -u
 cd "$(dirname "$0")/.."
-PROBE='
+QUEUE="${1:-benchmarks/run_tpu_queue.sh}"
+
+if pgrep -f "bash $QUEUE" >/dev/null 2>&1; then
+  echo "queue already running; watcher not needed" && exit 0
+fi
+
+probe=0
+while :; do
+  probe=$((probe + 1))
+  echo "=== probe $probe $(date) ==="
+  # A fresh-process first fetch can take 1-8 min when healthy; a dead
+  # tunnel blocks forever — bound the probe at 15 min.
+  if timeout 900 python - <<'EOF'
 import jax, jax.numpy as jnp
-x = jnp.ones((128, 128))
-print("PROBE_OK", float((x @ x)[0, 0]), flush=True)
-'
-while true; do
-  echo "probe $(date)"
-  if timeout 900 python -c "$PROBE" 2>&1 | grep -q PROBE_OK; then
-    echo "TUNNEL UP $(date) — launching queue"
-    bash benchmarks/run_tpu_queue.sh
-    echo "WATCHER DONE $(date)"
+x = jax.jit(lambda a: a @ a)(jnp.ones((128, 128), jnp.bfloat16))
+print("probe ok:", float(x[0, 0]))
+EOF
+  then
+    echo "=== tunnel up; launching $QUEUE $(date) ==="
+    bash "$QUEUE"
+    echo "=== queue finished $(date) ==="
     exit 0
   fi
+  echo "--- probe $probe failed $(date); sleeping ---"
   sleep 540
 done

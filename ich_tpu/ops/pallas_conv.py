@@ -1,33 +1,37 @@
-"""Pallas implicit-GEMM 3D conv for the lane-bound C_out∈{8,16,32,64} levels.
+"""Pallas implicit-GEMM 3D/2D conv for the lane-bound C_out∈{8,16,32,64} levels.
 
 Every XLA-level lane-fill transformation for the top U-Net levels is a
 measured negative (depth-to-space / block-space round 2, grouped convs
 round 3 — docs/BENCHMARKS.md): the pack/unpack always lands as separate
-HBM passes that break conv fusion. This kernel is the remaining avenue the
-round-2 verdict pointed at: fuse the packing into the conv itself.
+HBM passes that break conv fusion. This kernel fuses the packing into the
+conv itself.
 
-Formulation — one output plane (fixed batch b, depth d) per grid step,
-with the lane budget split between w-offsets and output channels
-(``WTILE = 128 // C_out`` w positions per lane tile):
+Formulation — one output plane (fixed batch b, depth d) per grid step.
+The 128 MXU lanes are split between w-offsets and output channels
+(``WTILE = 128 // C_out`` w positions per lane tile); the plane's
+``nt = W/WTILE`` lane tiles are a static in-kernel loop. For w-block j and
+tap t = (kd, kh) (3D; kh only in 2D):
 
-    rows   M = (h, w0)            H x W/WTILE output-tile rows
-    cols   K = (kd, kh, wa, ci)   3*3*(WTILE+2)*Cin input-window taps
-    lanes  N = (dw, co)           WTILE w-offsets x C_out channels = 128
+    A_t[h, e]  = plane_kd[kh + h, j*WTILE*Ci + e],  e in [0, S)
+    o_j[h, (dw, co)] += A_t @ W2_t                  (f32 accumulate)
 
-``A[(h,w0), (kd,kh,wa,ci)] = x[b, d+kd-1, h+kh-1, WTILE*w0+wa-1, ci]`` is
-an im2col built in VMEM from three overlapping depth planes (reshape/concat
-only — the w-window trick: pad w by (1 left, WTILE-1 right), reshape to
-WTILE-blocks; a (WTILE+2)-wide window is block j + the first 2 columns of
-block j+1). Planes are moved with the (W, C) axes fused into one wide
-lane-dense minor dimension — a bare C=8/16/32 minor axis would be padded
-to 128 lanes in VMEM/HBM (8-16x DMA inflation); the window algebra is
-unchanged because the fused windows stay contiguous. The packed weights ``W2[K, (dw,co)] = W[kd, kh, wa-dw, ci, co]``
-(zero unless ``wa-dw`` in {0,1,2}) are ``3/(WTILE+2)`` dense — the MXU runs
-``(WTILE+2)/3``x the useful MACs (3.33x at C_out=16, 2x at C_out=32, 6x at
-C_out=8, 1.33x at C_out=64) but at the full 128-lane rate instead of
-``C_out/128``, e.g. a
-~1.9x ceiling over XLA's direct conv at the 16->16 64-cube shape (measured
-29.9 TF/s direct, round 2).
+where ``S = round_up((WTILE+2)*Ci, 128)`` is the per-tap window width in
+*fused (w, ci) elements* and ``W2_t[e, (dw, co)] = W[t, kw=e//Ci-dw, e%Ci,
+co]`` (zero outside kw∈{0,1,2}) is the banded packed weight. Everything
+the kernel does is Mosaic-legal on real TPU hardware: 2D vectors only,
+lane slices at 128-aligned offsets/widths (``WTILE*Ci % 128 == 0`` is a
+qualify condition, i.e. ``Ci % Co == 0``), sublane row-shifts, dots, and
+lane-preserving reductions — no vector reshapes or unaligned concats (the
+round-3 A-build used both and Mosaic rejected them: ``tpu.reshape
+(64x72)->(64x9x8)`` "unsupported shape cast", BlockSpec ``(1, wci)``).
+
+The input moves with the (W, C) axes fused into one wide lane-dense minor
+dimension — a bare C=8/16/32 minor axis would be padded to 128 lanes in
+VMEM/HBM (8-16x DMA inflation). The packed weights are ``3*Ci/S`` dense —
+the MXU runs ``S/(3*Ci)``x the useful MACs but at the full 128-lane rate
+instead of ``C_out/128``: ceiling vs XLA's direct conv = ``(128/Co) *
+(3*Ci/S)``, e.g. 1.5x at 16->16 (S=256), 2x at 96->32 (S=640), 1.5x at
+64->64 (S=256).
 
 Opt-in via ``fastconv.set_packing("pallas")``. Differentiable via a custom
 VJP (the input grad is itself a qualifying SAME conv and rides the kernel;
@@ -82,12 +86,48 @@ def _wtile(co: int) -> int:
     return LANES // co
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _S(wt: int, ci: int) -> int:
+    """Per-tap window width in fused (w, ci) elements: the (wt+2)-wide
+    input window rounded up to a whole number of 128-lane tiles (the
+    rounding keeps every in-kernel lane slice Mosaic-legal; the extra
+    elements hit all-zero packed-weight rows)."""
+    return _round_up((wt + 2) * ci, 128)
+
+
+def _pad_cols(wt: int, ci: int) -> int:
+    """Right pad (in w columns, on top of the 1-column SAME pad) so the
+    last w-block's S-wide element slice stays in bounds."""
+    s = _S(wt, ci)
+    return -(-s // ci) - wt - 1       # ceil(s/ci) - (wt+1) >= 1
+
+
+def _ci_ok(ci: int, co: int) -> bool:
+    # WTILE*Ci % 128 == 0 <=> Ci % Co == 0: every per-block lane slice
+    # starts at a 128-aligned element offset (Mosaic requirement).
+    return ci % co == 0 and ci <= 128
+
+
+def _vmem3d(h: int, w: int, ci: int, co: int, it: int) -> int:
+    """Per-grid-step VMEM estimate: double-buffered input/output blocks,
+    the resident packed weights, and one A tile + f32 accumulator."""
+    wt = _wtile(co)
+    s = _S(wt, ci)
+    wci = (w + 1 + _pad_cols(wt, ci)) * ci
+    return (2 * (3 * (h + 2) * wci + h * w * co) * it
+            + 9 * s * LANES * it + h * s * it + h * LANES * 4)
+
+
 def qualifies(x_shape, w_shape, itemsize: int = 2) -> bool:
-    """3D SAME stride-1 3x3x3 conv, C_out in :func:`enabled_couts`, W a
-    multiple of the lane tile (128/C_out), plane small enough for VMEM
-    (A-matrix + slabs <= ~8 MB). ``itemsize`` is the activation dtype's byte width (the
-    kernel computes in x's dtype, so a float32 activation doubles the
-    footprint vs the bf16 default)."""
+    """3D SAME stride-1 3x3x3 conv, C_out in :func:`enabled_couts`,
+    C_in a multiple of C_out (lane-slice alignment), W a multiple of the
+    lane tile (128/C_out), and a per-step working set that fits VMEM.
+    ``itemsize`` is the activation dtype's byte width (the kernel computes
+    in x's dtype, so a float32 activation doubles the footprint vs the
+    bf16 default)."""
     if len(x_shape) != 5 or len(w_shape) != 5:
         return False
     b, d, h, w, ci = x_shape
@@ -97,61 +137,56 @@ def qualifies(x_shape, w_shape, itemsize: int = 2) -> bool:
     wt = _wtile(co)
     if w % wt or w < 2 * wt or h < 4:
         return False
-    if ci != 1 and (ci % 8 or ci > 128):
+    if not _ci_ok(ci, co):
         return False
-    k = 9 * (wt + 2) * ci
-    a_bytes = (h * (w // wt)) * _round_up(k, 128) * itemsize
-    # ~16 MB VMEM/core must also hold the A-build temporaries, the three
-    # double-buffered plane blocks and the out tile — cap A at 6 MB
-    return a_bytes <= 6 * 2 ** 20
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+    return _vmem3d(h, w, ci, co, itemsize) <= 10 * 2 ** 20
 
 
 def pack_weights(w: jax.Array) -> jax.Array:
-    """(3, 3, 3, Ci, Co) -> (Kpad, 128) with rows (kd, kh, wa, ci) and
-    lanes (dw, co)."""
+    """(3, 3, 3, Ci, Co) -> (9*S, 128) with rows (kd, kh, e) and lanes
+    (dw, co)."""
     return _pack_w_axis(w)
 
 
 def _emit(planes, w2, out, st, *, h, w, ci, co):
-    """Shared A-build + MXU dot + output (and optional stats) write.
+    """Shared per-plane loop: 128-aligned window slices, per-tap banded
+    dots with f32 accumulation, output (and optional stats) stores.
 
-    ``planes``: 3 (3D) or 1 (2D) padded row blocks of shape (h+2, (w+wt)*ci)
-    with the (W, C) axes fused so the lane (minor) dimension is wide and
-    dense — a bare C=8/16/32 minor axis would be padded to 128 lanes in
-    VMEM/HBM (8-16x inflation on every overlapping plane fetch). The im2col
-    windows survive the fusion: a (wt+2)-wide w-window is the contiguous
-    column range [j*wt*ci, (j*wt + wt+2)*ci) = block j + the first 2*ci
-    columns of block j+1.
+    ``planes``: 3 (3D) or 1 (2D) padded row blocks of shape
+    (h+2, (w+1+pr)*ci) with the (W, C) axes fused so the lane (minor)
+    dimension is wide and dense.
 
-    ``st``: optional (1, 1, 2, co) stats ref — per-channel sum and
+    ``st``: optional (1, 1, 2, 128) stats ref — raw per-lane sum and
     sum-of-squares of this grid step's *rounded* output (epilogue fusion:
     the following GroupNorm's statistics pass never re-reads the
-    activation from HBM). Computed post-rounding so they match stats taken
-    from the written activation exactly."""
+    activation from HBM). The (dw, co) lane groups are reduced to
+    per-channel stats outside the kernel (:func:`_finish_stats`); computed
+    post-rounding so they match stats taken from the written activation
+    exactly."""
     wt = _wtile(co)
     nt = w // wt
-    blocks = []
-    for plane in planes:                    # (h+2, (w+wt)*ci)
-        for kh in range(3):
-            y = plane[kh:kh + h]            # (h, (w+wt)*ci)
-            blocks.append(_wwindow(y, nt, wt, ci))  # (h, nt, (wt+2)*ci)
-    k = len(planes) * 3 * (wt + 2) * ci
-    A = jnp.stack(blocks, axis=2).reshape(h * nt, k)
-    kpad = w2.shape[0]
-    if kpad != k:
-        A = jnp.pad(A, ((0, 0), (0, kpad - k)))
-    o = jnp.dot(A, w2[:], preferred_element_type=jnp.float32)
-    r = o.astype(out.dtype)
-    # rows (h, nt), lanes (wt, co) -> (h, w*co) w-major co-minor
-    out[0, 0] = r.reshape(h, nt * wt * co)
+    s = _S(wt, ci)
+    step = wt * ci
+    taps = [p[kh:kh + h] for p in planes for kh in range(3)]
+    w2v = w2[:]
+    sums = sqs = None
+    for j in range(nt):
+        o = None
+        for t, tap in enumerate(taps):
+            a = tap[:, j * step:j * step + s]
+            d = jnp.dot(a, w2v[t * s:(t + 1) * s],
+                        preferred_element_type=jnp.float32)
+            o = d if o is None else o + d
+        r = o.astype(out.dtype)
+        out[0, 0, :, j * LANES:(j + 1) * LANES] = r
+        if st is not None:
+            rf = r.astype(jnp.float32)
+            s1 = jnp.sum(rf, axis=0, keepdims=True)
+            s2 = jnp.sum(rf * rf, axis=0, keepdims=True)
+            sums = s1 if sums is None else sums + s1
+            sqs = s2 if sqs is None else sqs + s2
     if st is not None:
-        rf = r.astype(jnp.float32).reshape(h * nt, wt, co)
-        st[0, 0] = jnp.stack(
-            [jnp.sum(rf, axis=(0, 1)), jnp.sum(rf * rf, axis=(0, 1))])
+        st[0, 0] = jnp.concatenate([sums, sqs], axis=0)
 
 
 def _kernel(x0, x1, x2, w2, out, *, h, w, ci, co):
@@ -180,15 +215,15 @@ def _interpret() -> bool:
 # plane. SAME-padding must stay zero *post*-relu (relu(b) can be > 0), so
 # pad rows/columns (and, in 3D, whole pad planes) are masked back to zero
 # after the affine — statically, from iota row/column indices and the
-# depth program id. Eval-only: no VJP is defined (ConvBlock gates the
-# fused path on ``train=False``).
+# depth program id. The wrapped fastconv cores carry custom VJPs over the
+# unfused composition, so eval-mode grads still work.
 # --------------------------------------------------------------------------
 
 
 def _pro_masks(wci: int, ci: int, w: int):
     """Column mask over the fused (w-position, ci) minor axis: real image
     columns are w positions 1..w of the padded row (0 is SAME pad, the
-    trailing wt-1 are lane-tile extension pad)."""
+    trailing pr are window-extension pad)."""
     wpos = jax.lax.broadcasted_iota(jnp.int32, (1, wci), 1) // ci
     return jnp.logical_and(wpos >= 1, wpos <= w)
 
@@ -204,9 +239,8 @@ def _kernel_pro_st(x0, x1, x2, asc, bsh, w2, out, st, *, h, w, ci, co, d):
 
 
 def _pro3d(refs, asc, bsh, *, h, w, ci, co, d):
-    wt = _wtile(co)
-    wci = (w + wt) * ci
-    av = asc[0]
+    wci = (w + 1 + _pad_cols(_wtile(co), ci)) * ci
+    av = asc[0]                             # (1, wci)
     bv = bsh[0]
     di = pl.program_id(1)
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (h + 2, 1), 0)
@@ -223,18 +257,20 @@ def _pro3d(refs, asc, bsh, *, h, w, ci, co, d):
     return planes
 
 
-def _stats3d_specs(b, d, co):
-    """Per-grid-step (1, 1, 2, co) stats block over a (b, d, 2, co) array."""
-    spec = pl.BlockSpec((1, 1, 2, co), lambda bi, di: (bi, di, 0, 0),
+def _stats3d_specs(b, d):
+    """Per-grid-step (1, 1, 2, 128) raw lane-stats block over a
+    (b, d, 2, 128) array (reduced to channels outside the kernel)."""
+    spec = pl.BlockSpec((1, 1, 2, LANES), lambda bi, di: (bi, di, 0, 0),
                         memory_space=pltpu.VMEM)
-    return spec, jax.ShapeDtypeStruct((b, d, 2, co), jnp.float32)
+    return spec, jax.ShapeDtypeStruct((b, d, 2, LANES), jnp.float32)
 
 
-def _finish_stats(st, n):
-    """(B, steps, 2, C) per-step sums -> per-channel (mean, mean-of-squares)
-    as f32 (B, C) pairs — the inputs FlatGroupNorm's group aggregation
-    takes."""
-    s = jnp.sum(st, axis=1)
+def _finish_stats(st, n, co):
+    """(B, steps, 2, 128) per-step raw (dw, co)-lane sums -> per-channel
+    (mean, mean-of-squares) as f32 (B, C) pairs — the inputs
+    FlatGroupNorm's group aggregation takes."""
+    s = jnp.sum(st, axis=1).reshape(st.shape[0], 2, _wtile(co), co)
+    s = jnp.sum(s, axis=2)
     return s[:, 0] / n, s[:, 1] / n
 
 
@@ -244,18 +280,20 @@ def _wspec(w2):
                         memory_space=pltpu.VMEM)
 
 
-def _affine_tiles(asc, bsh, x, w_ext, wci):
-    """(B, C) affines tiled over the fused (w-position, ci) minor axis, plus
-    their per-grid-step BlockSpec."""
-    at = jnp.tile(asc.astype(x.dtype), (1, w_ext))
-    bt = jnp.tile(bsh.astype(x.dtype), (1, w_ext))
-    vec = pl.BlockSpec((1, wci), lambda bi, si: (bi, 0),
+def _affine_tiles(asc, bsh, x, w_cols, wci):
+    """(B, C) affines tiled over the fused (w-position, ci) minor axis as
+    (B, 1, wci) arrays, plus their per-grid-step BlockSpec (block
+    (1, 1, wci): the last two dims equal the array's — Mosaic-legal,
+    unlike a (1, wci) block over (B, wci))."""
+    at = jnp.tile(asc.astype(x.dtype), (1, w_cols))[:, None, :]
+    bt = jnp.tile(bsh.astype(x.dtype), (1, w_cols))[:, None, :]
+    vec = pl.BlockSpec((1, 1, wci), lambda bi, si: (bi, 0, 0),
                        memory_space=pltpu.VMEM)
     return at, bt, vec
 
 
 def _run(kern, kern_st, grid, in_specs, inputs, out_spec, out_shape,
-         st_specs, n_elems, final_shape, interpret, stats):
+         st_specs, n_elems, final_shape, interpret, stats, co):
     """Single pallas_call dispatch site for all eight variants
     (stats/non-stats x plain/prologue x 2D/3D): a spec/params change edits
     one place instead of eight."""
@@ -266,7 +304,7 @@ def _run(kern, kern_st, grid, in_specs, inputs, out_spec, out_shape,
             out_specs=(out_spec, st_spec), out_shape=(out_shape, st_shape),
             interpret=interpret,
         )(*inputs)
-        m, q = _finish_stats(st, n_elems)
+        m, q = _finish_stats(st, n_elems, co)
         return out.reshape(final_shape), m, q
     out = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
@@ -276,14 +314,14 @@ def _run(kern, kern_st, grid, in_specs, inputs, out_spec, out_shape,
 
 
 def _prep3d(x, co):
-    """Shared 3D padding/blocking: SAME-pad, fuse (W, C) so blocks move
-    lane-dense (see _emit), and build the three overlapping depth-plane
-    specs + the output spec."""
+    """Shared 3D padding/blocking: SAME-pad plus the window-extension
+    columns, fuse (W, C) so blocks move lane-dense (see _emit), and build
+    the three overlapping depth-plane specs + the output spec."""
     b, d, h, w, ci = x.shape
     wt = _wtile(co)
-    wa = wt + 2
-    wci = (w + wt) * ci
-    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (1, wa - 3), (0, 0)])
+    pr = _pad_cols(wt, ci)
+    wci = (w + 1 + pr) * ci
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (1, pr), (0, 0)])
     xp = xp.reshape(b, d + 2, h + 2, wci)
     specs = [
         pl.BlockSpec((1, 1, h + 2, wci),
@@ -305,30 +343,30 @@ def _conv3d(x, w2, co: int, interpret: bool, stats: bool = False):
     return _run(functools.partial(_kernel, **kw),
                 functools.partial(_kernel_st, **kw),
                 (b, d), specs + [_wspec(w2)], (xp, xp, xp, w2),
-                out_spec, out_shape, _stats3d_specs(b, d, co),
-                d * h * w, (b, d, h, w, co), interpret, stats)
+                out_spec, out_shape, _stats3d_specs(b, d),
+                d * h * w, (b, d, h, w, co), interpret, stats, co)
 
 
 @functools.partial(jax.jit, static_argnames=("co", "interpret", "stats"))
 def _conv3d_pro(x, asc, bsh, w2, co: int, interpret: bool, stats: bool = False):
     b, d, h, w, ci = x.shape
     xp, wci, specs, out_spec, out_shape = _prep3d(x, co)
-    at, bt, vec = _affine_tiles(asc, bsh, x, w + _wtile(co), wci)
+    at, bt, vec = _affine_tiles(asc, bsh, x, wci // ci, wci)
     kw = dict(h=h, w=w, ci=ci, co=co, d=d)
     return _run(functools.partial(_kernel_pro, **kw),
                 functools.partial(_kernel_pro_st, **kw),
                 (b, d), specs + [vec, vec, _wspec(w2)],
                 (xp, xp, xp, at, bt, w2), out_spec, out_shape,
-                _stats3d_specs(b, d, co), d * h * w, (b, d, h, w, co),
-                interpret, stats)
+                _stats3d_specs(b, d), d * h * w, (b, d, h, w, co),
+                interpret, stats, co)
 
 
 def conv3d_same_pro(x: jax.Array, asc: jax.Array, bsh: jax.Array,
                     w: jax.Array) -> jax.Array:
     """``conv3d_same(relu(x * a + b), w)`` with the per-(sample, channel)
-    affine + ReLU fused into the kernel's A-build (GroupNorm's normalize
-    once its statistics are folded — see layers.FlatGroupNorm). asc/bsh:
-    (B, C_in). Eval-only: no VJP. Gate call sites with :func:`qualifies`."""
+    affine + ReLU fused into the kernel's window build (GroupNorm's
+    normalize once its statistics are folded — see layers.FlatGroupNorm).
+    asc/bsh: (B, C_in). Gate call sites with :func:`qualifies`."""
     w2 = pack_weights(w.astype(x.dtype))
     return _conv3d_pro(x, asc, bsh, w2, int(w.shape[4]), _interpret())
 
@@ -338,7 +376,7 @@ def conv3d_same_stats(x: jax.Array, w: jax.Array):
     output's per-(sample, channel) f32 statistics from the VMEM-resident
     result (post-rounding, so they equal stats recomputed from the written
     activation), feeding the *following* GroupNorm without its HBM stats
-    pass. Eval-only: no VJP."""
+    pass."""
     w2 = pack_weights(w.astype(x.dtype))
     return _conv3d(x, w2, int(w.shape[4]), _interpret(), stats=True)
 
@@ -347,7 +385,7 @@ def conv3d_same_pro_stats(x: jax.Array, asc: jax.Array, bsh: jax.Array,
                           w: jax.Array):
     """:func:`conv3d_same_pro` + the epilogue statistics of
     :func:`conv3d_same_stats`: prologue GN-affine+relu in, output stats
-    out. Eval-only."""
+    out."""
     w2 = pack_weights(w.astype(x.dtype))
     return _conv3d_pro(x, asc, bsh, w2, int(w.shape[4]), _interpret(),
                        stats=True)
@@ -358,34 +396,36 @@ def conv3d_same_pro_stats(x: jax.Array, asc: jax.Array, bsh: jax.Array,
 # grid step. The ht+2 padded rows a tile needs straddle one block boundary,
 # so the SAME padded image (H-blocked once, with ht-1 zero rows appended so
 # block nh exists) is passed through TWO refs whose index maps are offset by
-# one block: rows = block hi ++ first 2 rows of block hi+1. No row-shifted
-# copies are materialized in HBM (an earlier 3-view variant wrote 3x the
-# image before every call) and per-step VMEM is ~three (ht, (w+wt)*ci)
-# tiles — never the whole image. Budgets assume Pallas double-buffers
-# input/output blocks across grid steps (~16 MB VMEM/core total).
+# one block: rows = block hi ++ first 2 rows of block hi+1 (a sublane
+# concat — Mosaic-legal). Per-step VMEM is ~three (ht, wci) tiles — never
+# the whole image. Budgets assume Pallas double-buffers input/output blocks
+# across grid steps (~16 MB VMEM/core total).
 # --------------------------------------------------------------------------
 
-_A_BUDGET = int(2.5 * 2 ** 20)      # A-matrix bytes per grid step
-_BLK_BUDGET = int(2.5 * 2 ** 20)    # 2 input blocks + concat temp per step
+
+def _vmem2d(ht: int, w: int, ci: int, co: int, it: int) -> int:
+    wt = _wtile(co)
+    s = _S(wt, ci)
+    wci = (w + 1 + _pad_cols(wt, ci)) * ci
+    return (2 * (2 * ht * wci + ht * w * co) * it
+            + (ht + 2) * wci * it          # the concatenated rows temp
+            + 3 * s * LANES * it + ht * s * it + ht * LANES * 4)
 
 
 def _htile2d(h: int, w: int, ci: int, co: int, itemsize: int):
-    """Largest H-tile whose A-matrix + input blocks fit the VMEM budget."""
-    wt = _wtile(co)
-    kpad = _round_up(3 * (wt + 2) * ci, 128)
+    """Largest H-tile whose per-step working set fits the VMEM budget."""
     for ht in (64, 32, 16, 8, 4):
         if h % ht:
             continue
-        a = ht * (w // wt) * kpad * itemsize
-        blk = 3 * ht * (w + wt) * ci * itemsize
-        if a <= _A_BUDGET and blk <= _BLK_BUDGET:
+        if _vmem2d(ht, w, ci, co, itemsize) <= 8 * 2 ** 20:
             return ht
     return None
 
 
 def qualifies2d(x_shape, w_shape, itemsize: int = 2) -> bool:
-    """2D SAME stride-1 3x3 conv, C_out in :func:`enabled_couts`, W a
-    multiple of the lane tile, and an H-tile whose working set fits VMEM."""
+    """2D SAME stride-1 3x3 conv, C_out in :func:`enabled_couts`, C_in a
+    multiple of C_out, W a multiple of the lane tile, and an H-tile whose
+    working set fits VMEM."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return False
     b, h, w, ci = x_shape
@@ -395,42 +435,36 @@ def qualifies2d(x_shape, w_shape, itemsize: int = 2) -> bool:
     wt = _wtile(co)
     if w % wt or w < 2 * wt or h < 8:
         return False
-    if ci != 1 and (ci % 8 or ci > 128):
+    if not _ci_ok(ci, co):
         return False
     return _htile2d(h, w, ci, co, itemsize) is not None
 
 
 def _pack_w_axis(w: jax.Array) -> jax.Array:
-    """(*taps, 3, Ci, Co) -> (Kpad, 128): scatter the 3 w-taps of each
-    leading tap combination across the (wa, dw) diagonal band; rows ordered
-    (*taps, wa, ci), lanes (dw, co). Shared by the 2D and 3D packers."""
+    """(*taps, 3, Ci, Co) -> (ntaps*S, 128): per tap, element row e holds
+    ``W[tap, kw=e//Ci - dw, e%Ci, co]`` on lane (dw, co) (zero outside
+    kw∈{0,1,2} — the diagonal band that makes the window dot a SAME conv).
+    Rows beyond (wt+2)*Ci (the S rounding) are all zero. Shared by the 2D
+    and 3D packers."""
     *lead, _, ci, co = w.shape
     wt = _wtile(co)
-    wa = wt + 2
+    s = _S(wt, ci)
     nlead = int(np.prod(lead)) if lead else 1
     wl = w.reshape(nlead, 3, ci, co)
-    w2 = jnp.zeros((nlead, wa, ci, wt, co), w.dtype)
-    for dw in range(wt):
-        for kw in range(3):
-            w2 = w2.at[:, dw + kw, :, dw, :].set(wl[:, kw])
-    k = nlead * wa * ci
-    w2 = w2.reshape(k, wt * co)
-    kpad = _round_up(k, 128)
-    if kpad != k:
-        w2 = jnp.pad(w2, ((0, kpad - k), (0, 0)))
-    return w2
+    e = np.arange(s)
+    a = e // ci                          # w-offset of element row
+    c = e % ci
+    dw = np.arange(wt)
+    kw = a[:, None] - dw[None, :]        # (s, wt)
+    valid = jnp.asarray((kw >= 0) & (kw <= 2))
+    g = wl[:, np.clip(kw, 0, 2), c[:, None], :]    # (nlead, s, wt, co)
+    w2 = jnp.where(valid[None, :, :, None], g, 0)
+    return w2.reshape(nlead * s, wt * co)
 
 
 def pack_weights2d(w: jax.Array) -> jax.Array:
-    """(3, 3, Ci, Co) -> (Kpad, 128) with rows (kh, wa, ci), lanes (dw, co)."""
+    """(3, 3, Ci, Co) -> (3*S, 128) with rows (kh, e) and lanes (dw, co)."""
     return _pack_w_axis(w)
-
-
-def _wwindow(y: jax.Array, nt: int, wt: int, ci: int) -> jax.Array:
-    """(rows, (w+wt)*ci) -> (rows, nt, (wt+2)*ci): each lane tile's w-window
-    is block j + the first 2*ci fused columns of block j+1."""
-    t = y.reshape(y.shape[0], nt + 1, wt * ci)
-    return jnp.concatenate([t[:, :nt], t[:, 1:nt + 1, : 2 * ci]], axis=2)
 
 
 def _rows2d(x0, x1):
@@ -453,15 +487,15 @@ def _prep2d(x, co):
     zero rows cover the bottom pad)."""
     b, h, w, ci = x.shape
     wt = _wtile(co)
-    wa = wt + 2
+    pr = _pad_cols(wt, ci)
     ht = _htile2d(h, w, ci, co, x.dtype.itemsize)
     if ht is None:
         raise ValueError(
             f"pallas 2D conv: shape {x.shape} does not qualify — gate call "
             "sites with qualifies2d()")
-    wci = (w + wt) * ci
+    wci = (w + 1 + pr) * ci
     nh = h // ht
-    xp = jnp.pad(x, [(0, 0), (1, (nh + 1) * ht - (h + 1)), (1, wa - 3), (0, 0)])
+    xp = jnp.pad(x, [(0, 0), (1, (nh + 1) * ht - (h + 1)), (1, pr), (0, 0)])
     xq = xp.reshape(b, nh + 1, ht, wci)
     spec0 = pl.BlockSpec((1, 1, ht, wci), lambda bi, hi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -473,10 +507,10 @@ def _prep2d(x, co):
     return xq, ht, nh, wci, spec0, spec1, out_spec, out_shape
 
 
-def _stats2d_specs(b, nh, co):
-    spec = pl.BlockSpec((1, 1, 2, co), lambda bi, hi: (bi, hi, 0, 0),
+def _stats2d_specs(b, nh):
+    spec = pl.BlockSpec((1, 1, 2, LANES), lambda bi, hi: (bi, hi, 0, 0),
                         memory_space=pltpu.VMEM)
-    return spec, jax.ShapeDtypeStruct((b, nh, 2, co), jnp.float32)
+    return spec, jax.ShapeDtypeStruct((b, nh, 2, LANES), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("co", "interpret", "stats"))
@@ -487,13 +521,12 @@ def _conv2d(x, w2, co: int, interpret: bool, stats: bool = False):
     return _run(functools.partial(_kernel2d, **kw),
                 functools.partial(_kernel2d_st, **kw),
                 (b, nh), [spec0, spec1, _wspec(w2)], (xq, xq, w2),
-                out_spec, out_shape, _stats2d_specs(b, nh, co),
-                h * w, (b, h, w, co), interpret, stats)
+                out_spec, out_shape, _stats2d_specs(b, nh),
+                h * w, (b, h, w, co), interpret, stats, co)
 
 
 def _pro2d(x0, x1, asc, bsh, *, ht, h, w, ci, co):
-    wt = _wtile(co)
-    wci = (w + wt) * ci
+    wci = (w + 1 + _pad_cols(_wtile(co), ci)) * ci
     rows = _rows2d(x0, x1)                  # (ht+2, wci)
     hi = pl.program_id(1)
     gidx = jax.lax.broadcasted_iota(jnp.int32, (ht + 2, 1), 0) + hi * ht
@@ -517,32 +550,32 @@ def _kernel2d_pro_st(x0, x1, asc, bsh, w2, out, st, *, ht, h, w, ci, co):
 def _conv2d_pro(x, asc, bsh, w2, co: int, interpret: bool, stats: bool = False):
     b, h, w, ci = x.shape
     xq, ht, nh, wci, spec0, spec1, out_spec, out_shape = _prep2d(x, co)
-    at, bt, vec = _affine_tiles(asc, bsh, x, w + _wtile(co), wci)
+    at, bt, vec = _affine_tiles(asc, bsh, x, wci // ci, wci)
     kw = dict(ht=ht, h=h, w=w, ci=ci, co=co)
     return _run(functools.partial(_kernel2d_pro, **kw),
                 functools.partial(_kernel2d_pro_st, **kw),
                 (b, nh), [spec0, spec1, vec, vec, _wspec(w2)],
                 (xq, xq, at, bt, w2), out_spec, out_shape,
-                _stats2d_specs(b, nh, co), h * w, (b, h, w, co),
-                interpret, stats)
+                _stats2d_specs(b, nh), h * w, (b, h, w, co),
+                interpret, stats, co)
 
 
 def conv2d_same_pro(x: jax.Array, asc: jax.Array, bsh: jax.Array,
                     w: jax.Array) -> jax.Array:
-    """2D :func:`conv3d_same_pro`. asc/bsh: (B, C_in). Eval-only."""
+    """2D :func:`conv3d_same_pro`. asc/bsh: (B, C_in)."""
     w2 = pack_weights2d(w.astype(x.dtype))
     return _conv2d_pro(x, asc, bsh, w2, int(w.shape[3]), _interpret())
 
 
 def conv2d_same_stats(x: jax.Array, w: jax.Array):
-    """2D :func:`conv3d_same_stats`. Eval-only."""
+    """2D :func:`conv3d_same_stats`."""
     w2 = pack_weights2d(w.astype(x.dtype))
     return _conv2d(x, w2, int(w.shape[3]), _interpret(), stats=True)
 
 
 def conv2d_same_pro_stats(x: jax.Array, asc: jax.Array, bsh: jax.Array,
                           w: jax.Array):
-    """2D :func:`conv3d_same_pro_stats`. Eval-only."""
+    """2D :func:`conv3d_same_pro_stats`."""
     w2 = pack_weights2d(w.astype(x.dtype))
     return _conv2d_pro(x, asc, bsh, w2, int(w.shape[3]), _interpret(),
                        stats=True)

@@ -9,7 +9,7 @@ import pytest
 from ich_tpu.ops import pallas_conv as pc
 
 
-@pytest.mark.parametrize("ci", [1, 8, 16, 32])
+@pytest.mark.parametrize("ci", [16, 32, 48, 64])
 def test_conv3d_same16_matches_xla(ci):
     rng = np.random.default_rng(ci)
     x = jnp.asarray(rng.uniform(-1, 1, size=(2, 5, 8, 16, ci)).astype(np.float32))
@@ -23,7 +23,7 @@ def test_conv3d_same16_matches_xla(ci):
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("ci,co", [(16, 32), (32, 32), (96, 32), (1, 8), (8, 8)])
+@pytest.mark.parametrize("ci,co", [(32, 32), (64, 32), (96, 32), (8, 8), (16, 8)])
 def test_conv3d_same_other_couts(ci, co):
     """The generalized lane tile: WTILE = 128/C_out w-offsets per lane
     block (C_out=32 covers the flagship net's second level incl. the
@@ -48,7 +48,7 @@ def test_conv_same_cout64_optin(nd):
     so memoized programs never go stale."""
     from ich_tpu.ops import fastconv
 
-    ci, co = 32, 64
+    ci, co = 64, 64
     xs = (1,) + ((4, 8, 16) if nd == 3 else (16, 32)) + (ci,)
     ws = (3,) * nd + (ci, co)
     q = pc.qualifies if nd == 3 else pc.qualifies2d
@@ -94,16 +94,20 @@ def test_qualifies_gates():
     wk = (3, 3, 3, 16, 16)
     assert pc.qualifies(ok, wk)
     assert not pc.qualifies((2, 5, 8, 12, 16), wk)       # W % WTILE != 0
-    assert pc.qualifies(ok, (3, 3, 3, 16, 32))           # C_out=32: WTILE=4
+    # ci % co != 0: the per-block lane slice would be 128-unaligned
+    # (Mosaic rejects it) — 16->32 falls back to the direct conv
+    assert not pc.qualifies(ok, (3, 3, 3, 16, 32))
+    assert pc.qualifies((2, 5, 8, 16, 32), (3, 3, 3, 32, 32))
+    assert not pc.qualifies((2, 5, 8, 16, 1), (3, 3, 3, 1, 16))    # ci=1
     assert not pc.qualifies(ok, (3, 3, 3, 16, 64))       # C_out=64 opt-in only
     assert not pc.qualifies(ok, (5, 3, 3, 16, 16))       # kernel != 3^3
-    assert not pc.qualifies((2, 5, 8, 16, 12), (3, 3, 3, 12, 16))  # ci % 8
+    assert not pc.qualifies((2, 5, 8, 16, 12), (3, 3, 3, 12, 16))  # ci % co
     assert pc.qualifies((2, 5, 8, 16, 64), (3, 3, 3, 64, 16))      # wide ci ok
     assert not pc.qualifies((2, 256, 256, 512, 16), (3, 3, 3, 16, 16))  # VMEM
     assert not pc.qualifies((2, 5, 8, 4, 8), (3, 3, 3, 8, 32))     # W < 2*WTILE
 
 
-@pytest.mark.parametrize("ci,co", [(1, 32), (32, 32), (64, 32), (16, 16)])
+@pytest.mark.parametrize("ci,co", [(32, 32), (64, 32), (96, 32), (16, 16)])
 def test_conv2d_same_matches_xla(ci, co):
     """The 2D variant (H-tiled grid, dynamic kh row-windows on a resident
     image block) — covers the 2D flagship's 256^2 C=32 level."""
@@ -120,7 +124,7 @@ def test_conv2d_same_matches_xla(ci, co):
 
 def test_conv2d_same_custom_vjp_matches_autodiff():
     rng = np.random.default_rng(9)
-    ci, co = 16, 32
+    ci, co = 32, 32
     x = jnp.asarray(rng.uniform(-1, 1, size=(1, 16, 32, ci)).astype(np.float32))
     w = jnp.asarray((rng.uniform(-1, 1, size=(3, 3, ci, co)) * 0.2).astype(np.float32))
 
@@ -154,7 +158,7 @@ def test_qualifies2d_gates():
     assert pc.qualifies2d((16, 256, 256, 64), (3, 3, 64, 32))
 
 
-@pytest.mark.parametrize("ci,co", [(16, 16), (16, 32)])
+@pytest.mark.parametrize("ci,co", [(16, 16), (64, 32)])
 def test_conv3d_same_custom_vjp_matches_autodiff(ci, co):
     """grad through the kernel (custom VJP: input grad = rot-180
     channel-swapped SAME conv, weight grad = XLA's formulation) equals
@@ -210,7 +214,7 @@ def test_kernel_property_sweep():
     for i in range(6):
         co = int(rng.choice([8, 16, 32]))
         wt = 128 // co
-        ci = int(rng.choice([1, 8, 16, 32, 48]))
+        ci = co * int(rng.choice([1, 2, 3]))  # qualify rule: ci % co == 0
         nd = 2 if i % 2 == 0 else 3  # three cases per ndim
         w = wt * int(rng.integers(2, 5))
         h = int(rng.choice([8, 16]) if nd == 2 else rng.integers(4, 9))
@@ -315,7 +319,7 @@ def test_fused_property_sweep():
     for i in range(6):
         co = int(rng.choice([8, 16, 32]))
         wt = 128 // co
-        ci = int(rng.choice([8, 16, 32]))
+        ci = co * int(rng.choice([1, 2]))  # qualify rule: ci % co == 0
         nd = 2 if i % 2 == 0 else 3
         w_sp = wt * int(rng.integers(2, 5))
         h = int(rng.choice([8, 16, 32]) if nd == 2 else rng.integers(4, 9))
@@ -347,7 +351,7 @@ def test_fused_property_sweep():
             rtol=2e-4, atol=2e-4, err_msg=msg)
 
 
-@pytest.mark.parametrize("ci,co", [(16, 16), (16, 32), (8, 8)])
+@pytest.mark.parametrize("ci,co", [(16, 16), (32, 32), (8, 8)])
 def test_conv3d_same_pro_matches_composition(ci, co):
     """Prologue-fused kernel == conv(relu(x*a+b), w): the GN-normalize+ReLU
     fusion must keep SAME padding zero *post*-relu (relu(b) > 0 for b > 0,
@@ -365,7 +369,7 @@ def test_conv3d_same_pro_matches_composition(ci, co):
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("ci,co", [(16, 32), (32, 32), (8, 16)])
+@pytest.mark.parametrize("ci,co", [(64, 32), (32, 32), (16, 16)])
 def test_conv2d_same_pro_matches_composition(ci, co):
     rng = np.random.default_rng(ci * 3 + co)
     x = jnp.asarray(rng.uniform(-1, 1, size=(2, 16, 32, ci)).astype(np.float32))
@@ -508,7 +512,7 @@ def test_convblock_train_fusion_optin(ndim):
         ref_g, got_g)
 
 
-@pytest.mark.parametrize("nd,ci,co", [(3, 16, 16), (3, 16, 32), (2, 16, 32), (2, 16, 16)])
+@pytest.mark.parametrize("nd,ci,co", [(3, 16, 16), (3, 32, 32), (2, 64, 32), (2, 16, 16)])
 def test_conv_same_stats_epilogue(nd, ci, co):
     """The epilogue stats outputs equal per-(sample, channel) mean and
     mean-of-squares recomputed from the written activation."""
