@@ -1,5 +1,9 @@
-"""Label-efficiency benchmark: scratch vs context-restoration pretraining
-at 10/25/50/100% labels, >=5-fold CV (VERDICT r1 item 3; BASELINE config 5).
+"""Label-efficiency benchmark: scratch vs context-restoration vs global
+contrastive pretraining at 10/25/50/100% labels, >=5-fold CV (VERDICT r1
+item 3 + r3 item 4; BASELINE config 5 names *contrastive* pretraining —
+``Contrastive_UNet2D_scripts.py:38-242`` — and it is the
+``scripts/label_efficiency.py`` CLI default, so it gets the same paired
+statistics as the CR arm).
 
 The synthetic task is deliberately *hard at low labels*: low-contrast
 lesions (intensity 0.48 vs tissue 0.35) over smooth per-patient texture —
@@ -12,8 +16,14 @@ are PAIRED; alongside the reference's fold-aggregate mean ± 1.96σ
 convention (``UNet2D_scripts.py:203-207``) we report the 95% CI of the
 mean paired delta — the statistically meaningful test.
 
-Run on the TPU (takes ~30-60 min):
+Run on the TPU (takes ~30-90 min):
     python benchmarks/label_efficiency_bench.py --out /tmp/le_bench
+
+``--rescue`` runs the 10%-labels rescue probe instead (VERDICT r3 item 5):
+fraction 0.1 only, with the reference's ``frac_negative`` negative-slice
+subsampling analog (``UNet2D_scripts.py:121-123``) plus a longer
+fine-tune — asking whether the predict-empty basin at 10% labels is an
+optimization artifact or a data floor.
 
 Writes results.json, a markdown table, and a curve_std figure.
 """
@@ -96,77 +106,167 @@ def collect_dice(exp_dir, n_folds=N_FOLDS):
     return np.asarray(vals)
 
 
-def main(out_root, seed=42):
-    """One full two-arm sweep at training seed ``seed``. Fold splits stay
-    fixed (both arms and all seeds see identical splits, so per-(fold,seed)
-    Dice deltas are paired); the seed varies init/shuffle/augmentation —
-    run several seeds and pool with --report-only over the parent dir."""
-    from ich_tpu.experiments.pretrain_finetune import (
-        label_efficiency_sweep,
-        pretrain_context_restoration,
-    )
-
-    os.makedirs(out_root, exist_ok=True)
-    labeled, unlabeled = make_datasets()
-    by_fold = folds_fn(labeled)
+def _pretrain_cr(out_root, seed, unlabeled):
+    from ich_tpu.experiments.pretrain_finetune import pretrain_context_restoration
 
     pre_cfg = base_cfg(out_root, "cr_pretrain")
     pre_cfg["seed"] = seed
     pre_cfg["train"] = {**pre_cfg["train"], "n_epoch": 30, "batch_size": 32}
     pre_cfg["corruption"] = {"n_swap": 10, "swap_w": (6, 14), "swap_h": (6, 14),
                              "rotate": True}
-    weights = pretrain_context_restoration(pre_cfg, unlabeled)
+    return pretrain_context_restoration(pre_cfg, unlabeled)
 
+
+def _pretrain_contrastive(out_root, seed, unlabeled):
+    from ich_tpu.experiments.pretrain_finetune import pretrain_contrastive
+    from ich_tpu.ops import transforms as T
+
+    pre_cfg = base_cfg(out_root, "contrastive_pretrain")
+    pre_cfg["seed"] = seed
+    pre_cfg["net"] = {**pre_cfg["net"], "MLP_head": (256, 128)}
+    pre_cfg["train"] = {**pre_cfg["train"], "n_epoch": 30, "batch_size": 32}
+    # Crop+flip+blur views: the trainer's default brightness/contrast
+    # jitter is a measured NT-Xent collapse attractor at this toy scale
+    # (embeddings collapse, loss pins at ln(2B-1); docs/ROUND4_NOTES.md) —
+    # geometric views keep both this framework and the reference's own
+    # torch trainer in the escaping basin.
+    views = T.Compose(T.RandomCropResize((0.4, 0.8)), T.HFlip(0.5),
+                      T.GaussianBlur(0.5, (0.1, 2.0)))
+    return pretrain_contrastive(pre_cfg, unlabeled, aug_pipeline=views)
+
+
+PRETRAINERS = {"pretrained": _pretrain_cr, "contrastive": _pretrain_contrastive}
+
+
+def subsample_negative_slices(ds, frac_negative, rng):
+    """Reference ``UNet2D_scripts.py:121-123`` analog: keep every
+    ICH-positive slice and a ``frac_negative`` fraction of the negatives."""
+    pos = np.asarray(ds.masks).reshape(len(ds), -1).sum(axis=1) > 0
+    neg_idx = np.nonzero(~pos)[0]
+    keep_neg = rng.choice(neg_idx, int(round(frac_negative * len(neg_idx))),
+                          replace=False)
+    idx = np.sort(np.concatenate([np.nonzero(pos)[0], keep_neg]))
+    return ds.subset(idx)
+
+
+def main(out_root, seed=42, arms=("scratch", "pretrained", "contrastive"),
+         fractions=FRACTIONS, rescue=False):
+    """One full multi-arm sweep at training seed ``seed``. Fold splits stay
+    fixed (all arms and all seeds see identical splits, so per-(fold,seed)
+    Dice deltas are paired); the seed varies init/shuffle/augmentation —
+    run several seeds and pool with --report-only over the parent dir.
+
+    ``rescue=True``: the 10%-labels rescue recipe — negative-slice
+    subsampling (frac_negative=0.25) + a 2x longer fine-tune — at
+    fraction 0.1 only."""
+    from ich_tpu.experiments.pretrain_finetune import label_efficiency_sweep
+
+    os.makedirs(out_root, exist_ok=True)
+    labeled, unlabeled = make_datasets()
+    by_fold = folds_fn(labeled)
+    if rescue:
+        fractions = (0.1,)
+        inner = by_fold
+
+        def by_fold(k):  # noqa: F811 — rescue wrapper over the same splits
+            tr, te = inner(k)
+            rng = np.random.default_rng(1000 * seed + k)
+            return subsample_negative_slices(tr, 0.25, rng), te
+
+    # Arms merge into an existing results.json: fold splits are fixed
+    # (folds_fn ignores the training seed) and each arm's Dice depends only
+    # on (arm, seed, fold), so e.g. a contrastive-only run at seed 42 pairs
+    # exactly against the scratch values already measured at seed 42 —
+    # no need to re-run the measured arms.
+    res_path = os.path.join(out_root, "results.json")
     results = {}
-    for arm, init in (("scratch", None), ("pretrained", weights)):
+    if os.path.exists(res_path):
+        with open(res_path) as f:
+            results = json.load(f)
+        print(f"merging new arms into existing {res_path} "
+              f"(has: {sorted(results)})")
+    for arm in arms:
+        init = None
+        if arm != "scratch":
+            init = PRETRAINERS[arm](out_root, seed, unlabeled)
         cfg = base_cfg(out_root, arm)
         cfg["seed"] = seed
-        dirs = label_efficiency_sweep(cfg, init, by_fold, fractions=FRACTIONS,
+        if rescue:
+            cfg["train"] = {**cfg["train"], "n_epoch": 80}
+        dirs = label_efficiency_sweep(cfg, init, by_fold, fractions=fractions,
                                       seed=seed)
         results[arm] = {
             str(frac): collect_dice(d).tolist() for frac, d in dirs.items()
         }
-
-    with open(os.path.join(out_root, "results.json"), "w") as f:
-        json.dump(results, f, indent=1)
+        with open(res_path, "w") as f:  # checkpoint after every arm
+            json.dump(results, f, indent=1)
     report(results, out_root)
+
+
+ARM_LABELS = {"scratch": "scratch", "pretrained": "CR-pretrained",
+              "contrastive": "contrastive"}
 
 
 def pooled_report(parent_dir, out_root=None):
     """Pool per-(fold, seed) results from every ``results.json`` found under
-    ``parent_dir`` (one subdir per seed) into a single paired table."""
+    ``parent_dir`` (one subdir per seed) into a single paired table. Older
+    two-arm seed runs pool fine next to three-arm ones — each arm's paired
+    deltas only use seeds where both that arm and scratch ran."""
     import glob
 
-    pooled = {"scratch": {}, "pretrained": {}}
+    pooled = {}
     files = sorted(glob.glob(os.path.join(parent_dir, "*", "results.json")))
     if not files:
         files = [os.path.join(parent_dir, "results.json")]
+    per_seed = []
     for fn in files:
         with open(fn) as f:
             res = json.load(f)
-        for arm in pooled:
-            for frac, vals in res[arm].items():
-                pooled[arm].setdefault(frac, []).extend(vals)
+        per_seed.append(res)
+        for arm, by_frac in res.items():
+            for frac, vals in by_frac.items():
+                pooled.setdefault(arm, {}).setdefault(frac, []).extend(vals)
     print(f"pooled {len(files)} runs")
-    report(pooled, out_root or parent_dir)
+    report(pooled, out_root or parent_dir, per_seed=per_seed)
     return pooled
 
 
-def report(results, out_root):
-    lines = ["| labels | scratch (±1.96σ) | CR-pretrained (±1.96σ) | paired Δ [95% CI] |",
-             "|---|---|---|---|"]
+def _paired(per_seed, arm, frac):
+    """Paired (scratch, arm) value arrays across only the seeds that ran
+    both arms (old two-arm seed dirs lack the contrastive arm)."""
+    s, p = [], []
+    for res in per_seed:
+        if arm in res and "scratch" in res and frac in res.get(arm, {}):
+            s.extend(res["scratch"][frac])
+            p.extend(res[arm][frac])
+    return np.asarray(s), np.asarray(p)
+
+
+def report(results, out_root, per_seed=None):
+    arms = [a for a in ("scratch", "pretrained", "contrastive") if a in results]
+    pre_arms = [a for a in arms if a != "scratch"]
+    if per_seed is None:
+        per_seed = [results]
+    head = "| labels | scratch (±1.96σ) |"
+    sep = "|---|---|"
+    for a in pre_arms:
+        head += f" {ARM_LABELS[a]} (±1.96σ) | paired Δ [95% CI] |"
+        sep += "---|---|"
+    lines = [head, sep]
     for frac in FRACTIONS:
         if str(frac) not in results["scratch"]:
             continue
         s = np.asarray(results["scratch"][str(frac)])
-        p = np.asarray(results["pretrained"][str(frac)])
-        d = p - s
-        ci = 1.96 * d.std(ddof=1) / np.sqrt(len(d))
-        lines.append(
-            f"| {int(frac * 100)}% | {s.mean():.3f} ± {1.96 * s.std(ddof=1):.3f} "
-            f"| {p.mean():.3f} ± {1.96 * p.std(ddof=1):.3f} "
-            f"| {d.mean():+.3f} [{d.mean() - ci:+.3f}, {d.mean() + ci:+.3f}] |"
-        )
+        row = f"| {int(frac * 100)}% | {s.mean():.3f} ± {1.96 * s.std(ddof=1):.3f} |"
+        for a in pre_arms:
+            p = np.asarray(results[a][str(frac)])
+            sp, pp = _paired(per_seed, a, str(frac))
+            d = pp - sp
+            ci = 1.96 * d.std(ddof=1) / np.sqrt(len(d)) if len(d) > 1 else np.nan
+            row += (f" {p.mean():.3f} ± {1.96 * p.std(ddof=1):.3f} "
+                    f"| {d.mean():+.3f} [{d.mean() - ci:+.3f}, {d.mean() + ci:+.3f}]"
+                    f" (n={len(d)}) |")
+        lines.append(row)
     table = "\n".join(lines)
     print(table)
     with open(os.path.join(out_root, "table.md"), "w") as f:
@@ -182,11 +282,14 @@ def report(results, out_root):
         fracs = [f for f in FRACTIONS if str(f) in results["scratch"]]
         fig, ax = plt.subplots(figsize=(5, 4))
         xs = np.asarray(fracs) * 100
-        series = []
-        for arm in ("scratch", "pretrained"):
+        series, labels = [], []
+        for arm in arms:
+            if any(str(f) not in results[arm] for f in fracs):
+                continue  # arm measured on a different fraction grid
             cols = np.stack([np.asarray(results[arm][str(f)]) for f in fracs])
             series.append(np.concatenate([xs[:, None], cols], axis=1))
-        curve_std(series, ["scratch", "CR-pretrained"], ax=ax)
+            labels.append(ARM_LABELS[arm])
+        curve_std(series, labels, ax=ax)
         ax.set_xlabel("% of labeled patients")
         ax.set_ylabel("volumetric Dice (ICH-positive)")
         fig.tight_layout()
@@ -199,6 +302,12 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/le_bench")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--arms", default="scratch,pretrained,contrastive",
+                    help="comma-separated subset of scratch/pretrained/"
+                         "contrastive (scratch is the pairing anchor)")
+    ap.add_argument("--rescue", action="store_true",
+                    help="10%%-labels rescue probe: fraction 0.1 only, "
+                         "frac_negative=0.25 slice subsampling + 2x epochs")
     ap.add_argument("--report-only", action="store_true",
                     help="re-render table/figure from existing results.json "
                          "(pools every */results.json under --out)")
@@ -206,4 +315,5 @@ if __name__ == "__main__":
     if args.report_only:
         pooled_report(args.out)
     else:
-        main(args.out, seed=args.seed)
+        main(args.out, seed=args.seed, arms=tuple(args.arms.split(",")),
+             rescue=args.rescue)

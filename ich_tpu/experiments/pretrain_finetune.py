@@ -75,9 +75,15 @@ def pretrain_context_restoration(cfg: dict, dataset) -> dict:
     return cr.get_state_dict()
 
 
-def pretrain_contrastive(cfg: dict, dataset, local_dataset=None) -> dict:
+def pretrain_contrastive(cfg: dict, dataset, local_dataset=None,
+                         aug_pipeline=None) -> dict:
     """Global InfoNCE (+ optional local phase with frozen encoder);
-    returns the pretrained variables of the last phase."""
+    returns the pretrained variables of the last phase.
+
+    ``aug_pipeline`` overrides the trainer's default SimCLR-style view
+    pipeline (at toy scale the default's brightness/contrast jitter is a
+    measured NT-Xent collapse attractor — crop+flip views keep training
+    in the escaping basin; docs/ROUND4_NOTES.md)."""
     n = cfg["net"]
     tr = cfg["train"]
     # defaults mirror build_unet_from_cfg so a config omitting
@@ -90,6 +96,7 @@ def pretrain_contrastive(cfg: dict, dataset, local_dataset=None) -> dict:
     )
     glob = Contrastive(
         enc, is_global=True, tau=cfg.get("tau", 0.5),
+        aug_pipeline=aug_pipeline,
         n_epoch=tr["n_epoch"], batch_size=tr["batch_size"], lr=tr["lr"],
         lr_scheduler=tr.get("lr_scheduler", "ExponentialLR"),
         lr_scheduler_kwargs=tr.get("lr_scheduler_kwargs", {"gamma": 0.95}),
