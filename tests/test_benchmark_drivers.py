@@ -44,6 +44,81 @@ def test_report_handles_partial_fractions(tmp_path, capsys):
     assert "25%" in out and "10%" not in out
 
 
+def test_pooled_report_mixes_two_and_three_arm_seeds(tmp_path, capsys):
+    """Old two-arm seed dirs must pool next to new three-arm ones: the
+    contrastive column's paired deltas only use seeds where contrastive AND
+    scratch both ran (VERDICT r3 item 4 harness)."""
+    import label_efficiency_bench as B
+
+    rng = np.random.default_rng(1)
+
+    def res(arms):
+        return {arm: {str(f): rng.uniform(0, 1, B.N_FOLDS).tolist()
+                      for f in B.FRACTIONS} for arm in arms}
+
+    (tmp_path / "seed42").mkdir()
+    (tmp_path / "seed42" / "results.json").write_text(
+        json.dumps(res(("scratch", "pretrained"))))
+    (tmp_path / "seed43").mkdir()
+    (tmp_path / "seed43" / "results.json").write_text(
+        json.dumps(res(("scratch", "pretrained", "contrastive"))))
+
+    pooled = B.pooled_report(str(tmp_path))
+    out = capsys.readouterr().out
+    assert "contrastive" in out
+    # scratch pools both seeds; contrastive only came from seed43
+    assert len(pooled["scratch"]["0.1"]) == 2 * B.N_FOLDS
+    assert len(pooled["contrastive"]["0.1"]) == B.N_FOLDS
+    # the CR arm pairs over both seeds (n=10), contrastive over one (n=5)
+    row10 = next(ln for ln in out.splitlines() if ln.startswith("| 10%"))
+    assert f"(n={2 * B.N_FOLDS})" in row10 and f"(n={B.N_FOLDS})" in row10
+
+
+def test_subsample_negative_slices_keeps_all_positives():
+    import label_efficiency_bench as B
+    from ich_tpu.data.core import SliceDataset2D
+
+    n = 40
+    masks = np.zeros((n, 4, 4), np.float32)
+    masks[::4, 1, 1] = 1.0  # 10 positive slices
+    ds = SliceDataset2D(np.zeros((n, 4, 4), np.float32), masks,
+                        np.arange(n) // 8, np.arange(n))
+    sub = B.subsample_negative_slices(ds, 0.25, np.random.default_rng(0))
+    pos = sub.masks.reshape(len(sub), -1).sum(axis=1) > 0
+    assert int(pos.sum()) == 10  # every positive kept
+    assert len(sub) - 10 == round(0.25 * 30)  # 25% of the 30 negatives
+
+
+def test_watchdog_fires_json_line_and_exits(tmp_path, monkeypatch, capsys):
+    """The watchdog's fire path is the round-3 postmortem contract: a hung
+    tunnel must still produce the ONE JSON line (with last_measured) and a
+    hard exit. Also: pet() past the TOTAL deadline clamps, so the hard cap
+    is honored no matter how often a slow run re-arms."""
+    import importlib.util
+    import os as _os
+    import threading
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod_wd", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    fired = threading.Event()
+    codes = []
+    monkeypatch.setattr(_os, "_exit", lambda c: (codes.append(c), fired.set()))
+    monkeypatch.setattr(bench._Watchdog, "TOTAL", 0.2)
+
+    wd = bench._Watchdog(0.05)
+    wd.pet(9999)  # re-arm far past the deadline: must clamp to the cap
+    assert fired.wait(5.0), "watchdog never fired"
+    wd.cancel()
+    assert codes == [2]
+    line = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()][-1]
+    rec = json.loads(line)
+    assert rec["value"] == 0.0 and "WATCHDOG" in rec["unit"]
+    assert "last_measured" in rec["extra"]
+
+
 def test_pallas_gate_drivers_import_and_refuse_cpu(monkeypatch):
     """The two TPU gate drivers must import cleanly (API-drift canary for
     the queued hardware run) and refuse to bench on a non-TPU platform."""
