@@ -135,62 +135,27 @@ def main(wd=None):
     # per-coset ones (64+56+56+49).
     for patch, batch in ((64, 128), (128, 8)):
         run = make_run(patch, batch)
-        # 64^3 headline: self-selecting packing A/B — the pallas
-        # implicit-GEMM kernel (+ GN-prologue fusion) targets exactly this
-        # eval path, so measure the modes and keep the fastest (all are
-        # recorded). "pallas64" additionally routes the half-lane C_out=64
-        # level through the kernel. The memoized inference programs key on
-        # packing_key() (which folds the enabled-couts set in), so arms
-        # never share a stale executable.
-        from ich_tpu.ops import pallas_conv
-
-        arms = {"auto": ("auto", None),
-                "pallas": ("pallas", pallas_conv.DEFAULT_COUTS),
-                "pallas64": ("pallas", pallas_conv.COUTS)}
-        # patch128 gets a two-arm A/B only: its level-0 C=16 convs qualify
-        # (the A-matrix sits exactly at the kernel's VMEM cap); the extra
-        # pallas64 arm is explored by benchmarks/pallas_in_net_ab.py first.
-        modes = tuple(arms) if patch == 64 else ("auto", "pallas")
-        best = None
-        mode_times = {}
-        err = None
-        for mode in modes:
-            pk, couts = arms[mode]
-            fastconv.set_packing(pk)
-            if couts is not None:
-                pallas_conv.set_enabled_couts(couts)
-            try:
-                lat_m, thr_m = timed(run)
-            except Exception as e:
-                mode_times[mode] = f"{type(e).__name__}: {e}"[:160]
-                err = e
-                continue
-            finally:
-                fastconv.set_packing("auto")
-                pallas_conv.set_enabled_couts(pallas_conv.DEFAULT_COUTS)
-                if wd is not None:
-                    # fresh budget per finished arm, measured OR failed: a
-                    # slow Mosaic failure must not starve the next arm
-                    wd.pet(25 * 60)
-            mode_times[mode] = {"lat_ms": round(lat_m * 1e3, 1),
-                                "thr_ms": round(thr_m * 1e3, 1)}
-            # pick by latency: that is the published headline metric
-            # (volumes_per_s = 1/lat) — selecting on pipelined throughput
-            # could regress the round-over-round headline
-            if best is None or lat_m < best[1]:
-                best = (mode, lat_m, thr_m)
-        if best is None:  # every mode failed; the headline must not crash
-            results[f"patch{patch}"] = {"error": f"{type(err).__name__}: {err}"[:200]}
+        # Packing stays "auto" (= direct conv): every lane-fill candidate is
+        # a measured negative on this chip — depth-to-space (r2), grouped
+        # conv (r3), int8 (r3), and the hand-written implicit-GEMM pallas
+        # kernel the round-3/4 A/B arms here used to measure (0.49-0.87x
+        # in-net at every level; kernel removed round 4 —
+        # docs/BENCHMARKS.md "documented negative").
+        try:
+            lat, thr = timed(run)
+        except Exception as e:
+            results[f"patch{patch}"] = {"error": f"{type(e).__name__}: {e}"[:200]}
             continue
-        mode, lat, thr = best
+        finally:
+            if wd is not None:
+                # fresh budget per finished config, measured OR failed
+                wd.pet(25 * 60)
         flops = algorithmic_flops(patch, batch)
         entry = {
             "volumes_per_s": round(1.0 / lat, 4),
             "volumes_per_s_pipelined": round(1.0 / thr, 4),
-            "packing": mode,
+            "packing": "auto (lane-fill negatives measured; see BENCHMARKS.md)",
         }
-        if len(mode_times) > 1:
-            entry["mode_ms_per_volume"] = mode_times
         if flops is not None:
             tflops = flops / thr / 1e12
             entry["tflops"] = round(tflops, 2)

@@ -1,6 +1,8 @@
 #!/bin/bash
-# Ordered TPU work queue for the next session with a live tunnel
-# (docs/ROUND4_NOTES.md). One TPU client at a time; each stage bounded.
+# Ordered TPU work queue (remaining round-4 work; the pallas gate/A-B
+# stages ran 2026-08-19 and settled the kernel as a documented negative —
+# docs/BENCHMARKS.md). One TPU client at a time; each stage bounded;
+# touch /tmp/tpu_queue.stop to stop cleanly between stages.
 # Usage: bash benchmarks/run_tpu_queue.sh   (log: /tmp/tpu_queue.log)
 cd "$(dirname "$0")/.."
 # `python benchmarks/x.py` puts benchmarks/ (not the repo) on sys.path —
@@ -9,22 +11,26 @@ export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 log=/tmp/tpu_queue.log
 : > "$log"
 run() {
+  if [ -e /tmp/tpu_queue.stop ]; then
+    echo "STOP FILE PRESENT — skipping: ${*:2}" | tee -a "$log"
+    return
+  fi
   echo "=== ${*:2} === $(date)" | tee -a "$log"
   timeout "$1" "${@:2}" 2>&1 | grep --line-buffered -v "Warning" | tee -a "$log"
   local st=${PIPESTATUS[0]}
   echo "--- exit=$st$( [ "$st" = 124 ] && echo ' (TIMEOUT)' ) $(date) ---" | tee -a "$log"
 }
-run 2700 python benchmarks/pallas_conv_gate.py          # 7-shape micro-gate
-run 2700 python benchmarks/pallas_in_net_ab.py          # 3D inference A/B
-run 2700 python benchmarks/pallas_in_net_ab.py --train  # 3D train A/B
-run 2700 python benchmarks/pallas_in_net_ab.py --train2d # 2D train A/B
-run 1800 python benchmarks/pallas_in_net_ab.py --infer2d # 2D bs128 eval A/B
-run 2700 python benchmarks/train_step_bench.py --only gan_bs64  # remat bs64
-run 1800 python benchmarks/infer_overhead_probe.py      # GN share at b128 64^3
-run 6600 python bench.py   # headline JSON (watchdog hard cap 100 min)
-# Remaining time: pool two more label-efficiency seeds (~55 min each),
-# then refresh the aggregate report over all seed dirs in /tmp/le_multi.
-run 4500 python benchmarks/label_efficiency_bench.py --seed 48 --out /tmp/le_multi/seed48
-run 4500 python benchmarks/label_efficiency_bench.py --seed 49 --out /tmp/le_multi/seed49
+# -- label-efficiency: contrastive third arm (VERDICT r3 item 4) --------------
+for s in 49 48 42 43 44 45 46 47; do
+  run 3000 python benchmarks/label_efficiency_bench.py \
+      --seed "$s" --arms contrastive --out "/tmp/le_multi/seed$s"
+done
 run 1200 python benchmarks/label_efficiency_bench.py --report-only --out /tmp/le_multi
+# -- 10%-labels rescue probe (VERDICT r3 item 5) -------------------------------
+run 2700 python benchmarks/label_efficiency_bench.py \
+    --seed 42 --rescue --arms scratch,pretrained --out /tmp/le_rescue/seed42
+run 2700 python benchmarks/label_efficiency_bench.py \
+    --seed 43 --rescue --arms scratch,pretrained --out /tmp/le_rescue/seed43
+run 1200 python benchmarks/label_efficiency_bench.py --report-only --out /tmp/le_rescue
+run 6600 python bench.py   # refreshed headline JSON (post-surgery tree)
 echo "QUEUE DONE $(date)" | tee -a "$log"

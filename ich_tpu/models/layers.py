@@ -32,7 +32,7 @@ class PConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, prologue=None, want_stats: bool = False):
+    def __call__(self, x: jax.Array):
         c_in = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -46,27 +46,7 @@ class PConv(nn.Module):
             else None
         )
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
-        if want_stats:
-            # epilogue-fused output statistics for the following GroupNorm
-            if prologue is not None:
-                y, m, q = fastconv.conv_same_pro_stats(
-                    x, prologue[0], prologue[1], kernel)
-            else:
-                y, m, q = fastconv.conv_same_stats(x, kernel)
-            if bias is not None:
-                y = y + bias
-                # stats were taken pre-bias; shift them exactly:
-                # E[y+b] = E[y]+b,  E[(y+b)^2] = E[y^2] + 2 b E[y] + b^2
-                bf = bias.astype(jnp.float32)
-                q = q + 2.0 * bf * m + jnp.square(bf)
-                m = m + bf
-            return y, m, q
-        if prologue is not None:
-            # (sc, sh) per-(sample, channel): conv(relu(x*sc + sh), k) with
-            # the affine+relu fused into the pallas A-build when available
-            y = fastconv.conv_same_pro(x, prologue[0], prologue[1], kernel)
-        else:
-            y = fastconv.conv_same(x, kernel)
+        y = fastconv.conv_same(x, kernel)
         if bias is not None:
             y = y + bias
         return y
@@ -100,27 +80,20 @@ class FlatGroupNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, return_affine: bool = False,
-                 stats=None):
+    def __call__(self, x: jax.Array):
         c = x.shape[-1]
         g = self.num_groups
         assert c % g == 0, (c, g)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        if stats is not None:
-            # precomputed per-channel (mean, mean-of-squares), f32 (B, C) —
-            # a conv epilogue already emitted them (fastconv.conv_same_stats)
-            # so the whole-activation stats pass is skipped
-            ch_mean, ch_sq = stats
-        else:
-            red = tuple(range(1, x.ndim - 1))  # spatial axes
-            # statistics in f32 (fused into the reductions); the whole-tensor
-            # normalize pass stays in the compute dtype — a f32 elementwise
-            # chain here doubles every retained activation copy, which at
-            # bs2 x 128³ alone overflows a v5e's HBM (round-3 probe)
-            xf = x.astype(jnp.float32)
-            ch_mean = jnp.mean(xf, axis=red)  # (B, C)
-            ch_sq = jnp.mean(jnp.square(xf), axis=red)
+        red = tuple(range(1, x.ndim - 1))  # spatial axes
+        # statistics in f32 (fused into the reductions); the whole-tensor
+        # normalize pass stays in the compute dtype — a f32 elementwise
+        # chain here doubles every retained activation copy, which at
+        # bs2 x 128³ alone overflows a v5e's HBM (round-3 probe)
+        xf = x.astype(jnp.float32)
+        ch_mean = jnp.mean(xf, axis=red)  # (B, C)
+        ch_sq = jnp.mean(jnp.square(xf), axis=red)
         gm = jnp.mean(ch_mean.reshape(-1, g, c // g), axis=-1)  # (B, g)
         gs = jnp.mean(ch_sq.reshape(-1, g, c // g), axis=-1)
         # E[x^2] - E[x]^2 can cancel negative in f32 for near-constant
@@ -132,11 +105,6 @@ class FlatGroupNorm(nn.Module):
         # fold scale/bias into one multiply-add: y = x*sc + sh
         sc = rs_c * scale[None, :]
         sh = bias[None, :] - mu_c * sc
-        if return_affine:
-            # (B, C) folded affine for prologue fusion into a following
-            # conv (fastconv.conv_same_pro) — the normalize pass is never
-            # materialized; the caller owns applying relu(x*sc + sh)
-            return sc, sh
         shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
         y = x * sc.astype(x.dtype).reshape(shape) + sh.astype(x.dtype).reshape(shape)
         return y.astype(self.dtype)
@@ -158,14 +126,10 @@ class Norm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False,
-                 return_affine: bool = False, stats=None):
+    def __call__(self, x: jax.Array, train: bool = False):
         if self.kind == "group":
             groups = max(1, x.shape[-1] // self.group_size)
-            return FlatGroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(
-                x, return_affine=return_affine, stats=stats)
-        assert not return_affine and stats is None, \
-            "return_affine/stats require kind='group'"
+            return FlatGroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
         if self.kind == "none":
             return x
         return nn.BatchNorm(
@@ -209,41 +173,16 @@ class ConvBlock(nn.Module):
         k = (self.kernel_size,) * self.ndim
         # the norm runs in the block's compute dtype (statistics are still
         # f32 inside flax): a f32 norm between bf16 convs would force two
-        # bf16<->f32 conversion passes per norm — pure HBM traffic
-        # eval-path GN fusion (packing mode "pallas"): both convs emit
-        # their output statistics from VMEM (epilogue — the norms skip
-        # their whole-activation stats pass), and bn1's normalize + relu
-        # fold into conv2's A-build as a (B, C) affine prologue. Per block
-        # that removes three of the six HBM activation passes. The train
-        # path keeps the unfused chain by default; fastconv.set_fuse_train
-        # opts training in (the fused cores' custom VJPs differentiate the
-        # exact unfused composition, so grads are identical — eval-mode
-        # grads/saliency work the same way). Param trees are identical
-        # either way.
-        fuse = (
-            (not train or fastconv.fuse_train())
-            and not self.gated
-            and self.norm == "group"
-            and self.kernel_size == 3
-            and fastconv.packing_key().startswith("pallas")
-        )
-        if fuse:
-            x, m1, q1 = PConv(mid, k, dtype=self.dtype, name="conv1")(
-                x, want_stats=True)
-            sc, sh = Norm(self.norm, axis_name=self.axis_name, dtype=self.dtype,
-                          name="bn1")(x, train, return_affine=True,
-                                      stats=(m1, q1))
-            x, m2, q2 = PConv(self.out_channels, k, dtype=self.dtype,
-                              name="conv2")(x, prologue=(sc, sh),
-                                            want_stats=True)
-            x = Norm(self.norm, axis_name=self.axis_name, dtype=self.dtype,
-                     name="bn2")(x, train, stats=(m2, q2))
-        else:
-            x = self._conv(x, mid, k, "conv1")
-            x = Norm(self.norm, axis_name=self.axis_name, dtype=self.dtype, name="bn1")(x, train)
-            x = nn.relu(x)
-            x = self._conv(x, self.out_channels, k, "conv2")
-            x = Norm(self.norm, axis_name=self.axis_name, dtype=self.dtype, name="bn2")(x, train)
+        # bf16<->f32 conversion passes per norm — pure HBM traffic.
+        # (A round-3 GN prologue/epilogue conv fusion lived here, feeding a
+        # hand-written implicit-GEMM kernel; the kernel measured 0.49-0.87x
+        # of XLA's direct conv at every level in round 4 and the whole path
+        # was removed — docs/BENCHMARKS.md "documented negative".)
+        x = self._conv(x, mid, k, "conv1")
+        x = Norm(self.norm, axis_name=self.axis_name, dtype=self.dtype, name="bn1")(x, train)
+        x = nn.relu(x)
+        x = self._conv(x, self.out_channels, k, "conv2")
+        x = Norm(self.norm, axis_name=self.axis_name, dtype=self.dtype, name="bn2")(x, train)
         x = nn.relu(x)
         if self.p_dropout > 0.0:
             x = nn.Dropout(rate=self.p_dropout, deterministic=not train)(x)

@@ -36,47 +36,23 @@ import numpy as np
 # Packing mode: "auto" (default) currently resolves to OFF — see
 # packing_active() for the measured rationale; "on" forces packing wherever
 # the shape qualifies (tests + experimentation); "off" disables it.
-# ICH_TPU_PACKING overrides the initial mode so serving CLIs can enable the
-# pallas kernel without code changes (set_packing still wins afterwards);
-# "pallas64" = mode "pallas" with the opt-in C_out=64 kernel level enabled
-# (pallas_conv.set_enabled_couts), matching the bench/A-B arm of that name.
+# ICH_TPU_PACKING overrides the initial mode so serving CLIs can switch
+# without code changes (set_packing still wins afterwards). A fourth mode,
+# "pallas" (a hand-written implicit-GEMM Mosaic kernel for the lane-bound
+# C_out<=64 levels), was measured 0.49-0.87x of the direct conv at every
+# level in round 4 and removed — docs/BENCHMARKS.md "documented negative".
 import os as _os
 
 _MODE = _os.environ.get("ICH_TPU_PACKING", "auto")
-if _MODE == "pallas64":
-    _MODE = "pallas"  # pallas_conv reads the same env var for the couts
-if _MODE not in ("auto", "on", "off", "pallas"):  # pragma: no cover
+if _MODE not in ("auto", "on", "off"):  # pragma: no cover
     raise ValueError(
-        f"ICH_TPU_PACKING must be auto/on/off/pallas/pallas64, got {_MODE!r}")
-
-
-_FUSE_TRAIN = _os.environ.get("ICH_TPU_FUSE_TRAIN", "0") == "1"
-
-
-def set_fuse_train(on: bool) -> None:
-    """Opt-in: apply the GN prologue/epilogue conv fusion on the *training*
-    path too (mode "pallas", GroupNorm ConvBlocks). Mathematically
-    identical — the fused cores' custom VJPs differentiate the exact
-    unfused composition, and the recomputed conv in the backward trace is
-    dead code XLA eliminates (only the cheap elementwise affine+relu is
-    re-evaluated for the mask). Folded into :func:`packing_key` so
-    memoized train programs retrace on toggle. Default off pending its
-    TPU A/B (benchmarks/pallas_in_net_ab.py --train)."""
-    global _FUSE_TRAIN
-    _FUSE_TRAIN = bool(on)
-
-
-def fuse_train() -> bool:
-    return _FUSE_TRAIN
+        f"ICH_TPU_PACKING must be auto/on/off, got {_MODE!r}")
 
 
 def set_packing(mode: str) -> None:
-    """"auto"/"off": direct conv; "on": depth-to-space lane packing;
-    "pallas": the implicit-GEMM kernel for qualifying C_out∈{8,16,32} 2D
-    and 3D convs (:mod:`ich_tpu.ops.pallas_conv`; differentiable — the
-    custom VJPs route the input grads through the kernels as well)."""
+    """"auto"/"off": direct conv; "on": depth-to-space lane packing."""
     global _MODE
-    if mode not in ("auto", "on", "off", "pallas"):
+    if mode not in ("auto", "on", "off"):
         raise ValueError(f"unknown packing mode {mode!r}")
     _MODE = mode
 
@@ -87,19 +63,7 @@ def packing_key() -> str:
     jitted programs containing convs (sliding-window inference, the
     trainers' whole-volume programs) must include this in its cache key —
     otherwise a ``set_packing`` change silently reuses the stale
-    executable. Under mode "pallas" a non-default enabled-C_out set
-    (``pallas_conv.set_enabled_couts``) is folded in for the same reason;
-    mode checks should use ``startswith("pallas")``."""
-    if _MODE == "pallas":
-        from ich_tpu.ops import pallas_conv
-
-        key = _MODE
-        cs = pallas_conv.enabled_couts()
-        if cs != pallas_conv.DEFAULT_COUTS:
-            key = "pallas:" + ",".join(map(str, cs))
-        if _FUSE_TRAIN:
-            key += "+ft"
-        return key
+    executable."""
     return _MODE
 
 
@@ -230,169 +194,6 @@ def packed_conv(
     return out.reshape((b,) + full + (c_out,))
 
 
-def _affine_relu(x: jax.Array, sc: jax.Array, sh: jax.Array) -> jax.Array:
-    """``relu(x * sc + sh)`` with (B, C) affines broadcast over the spatial
-    axes — the unfused form of the pallas prologue."""
-    shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
-    return jnp.maximum(
-        x * sc.astype(x.dtype).reshape(shape) + sh.astype(x.dtype).reshape(shape), 0
-    )
-
-
-def _pallas_fused(x: jax.Array, w: jax.Array, suffix: str):
-    """The qualifying fused pallas entry point (``conv{2,3}d_same_<suffix>``)
-    for this shape under mode "pallas", else ``None``."""
-    if _MODE != "pallas":
-        return None
-    from ich_tpu.ops import pallas_conv
-
-    n = x.ndim - 2
-    if n == 3 and pallas_conv.qualifies(x.shape, w.shape, x.dtype.itemsize):
-        return getattr(pallas_conv, f"conv3d_same_{suffix}")
-    if n == 2 and pallas_conv.qualifies2d(x.shape, w.shape, x.dtype.itemsize):
-        return getattr(pallas_conv, f"conv2d_same_{suffix}")
-    return None
-
-
-def _spatial_stats(y: jax.Array):
-    """Per-(sample, channel) f32 mean and mean-of-squares over the spatial
-    axes — the inputs FlatGroupNorm's group aggregation takes."""
-    red = tuple(range(1, y.ndim - 1))
-    yf = y.astype(jnp.float32)
-    return jnp.mean(yf, axis=red), jnp.mean(jnp.square(yf), axis=red)
-
-
-# The fused forms are primarily eval-path optimizations, but eval-mode
-# applies still get differentiated (saliency / FCDD-style grad heatmaps /
-# adversarial probes), and the raw pallas_call wrappers define no VJP. Each
-# fused core therefore carries a custom VJP whose backward differentiates
-# the equivalent unfused composition (identical math; the input grad still
-# rides the kernel via conv_same's own VJP when the shape qualifies).
-
-
-@jax.custom_vjp
-def _pro_core(x, sc, sh, w):
-    fn = _pallas_fused(x, w, "pro")
-    if fn is not None:
-        return fn(x, sc, sh, w)
-    return conv_same(_affine_relu(x, sc, sh), w)
-
-
-def _pro_ref(x, sc, sh, w):
-    return conv_same(_affine_relu(x, sc, sh), w)
-
-
-def _pro_fwd(x, sc, sh, w):
-    return _pro_core(x, sc, sh, w), (x, sc, sh, w)
-
-
-def _pro_bwd(res, dy):
-    _, vjp = jax.vjp(_pro_ref, *res)
-    return vjp(dy)
-
-
-_pro_core.defvjp(_pro_fwd, _pro_bwd)
-
-
-@jax.custom_vjp
-def _stats_core(x, w):
-    fn = _pallas_fused(x, w, "stats")
-    if fn is not None:
-        return fn(x, w)
-    y = conv_same(x, w)
-    return (y,) + _spatial_stats(y)
-
-
-def _stats_ref(x, w):
-    y = conv_same(x, w)
-    return (y,) + _spatial_stats(y)
-
-
-def _stats_fwd(x, w):
-    return _stats_core(x, w), (x, w)
-
-
-def _stats_bwd(res, dy):
-    _, vjp = jax.vjp(_stats_ref, *res)
-    return vjp(dy)
-
-
-_stats_core.defvjp(_stats_fwd, _stats_bwd)
-
-
-@jax.custom_vjp
-def _pro_stats_core(x, sc, sh, w):
-    fn = _pallas_fused(x, w, "pro_stats")
-    if fn is not None:
-        return fn(x, sc, sh, w)
-    y = conv_same(_affine_relu(x, sc, sh), w)
-    return (y,) + _spatial_stats(y)
-
-
-def _pro_stats_ref(x, sc, sh, w):
-    y = conv_same(_affine_relu(x, sc, sh), w)
-    return (y,) + _spatial_stats(y)
-
-
-def _pro_stats_fwd(x, sc, sh, w):
-    return _pro_stats_core(x, sc, sh, w), (x, sc, sh, w)
-
-
-def _pro_stats_bwd(res, dy):
-    _, vjp = jax.vjp(_pro_stats_ref, *res)
-    return vjp(dy)
-
-
-_pro_stats_core.defvjp(_pro_stats_fwd, _pro_stats_bwd)
-
-
-def conv_same_pro(
-    x: jax.Array,
-    sc: jax.Array,
-    sh: jax.Array,
-    w: jax.Array,
-    precision=None,
-) -> jax.Array:
-    """``conv_same(relu(x * sc + sh), w)`` with the per-(sample, channel)
-    affine + ReLU fused into the pallas kernel's A-build when the mode is
-    "pallas" and the shape qualifies. ``sc``/``sh``: (B, C_in) — GroupNorm's
-    normalize with its statistics folded
-    (:class:`ich_tpu.models.layers.FlatGroupNorm`). Falls back to the
-    unfused composition everywhere else, so outputs are always defined.
-    Differentiable: the fused core's custom VJP differentiates the unfused
-    composition (eval-mode grads — saliency, FCDD heatmaps — keep working)."""
-    if precision is not None:
-        return _pro_ref_precision(x, sc, sh, w, precision)
-    return _pro_core(x, sc, sh, w)
-
-
-def _pro_ref_precision(x, sc, sh, w, precision):
-    return conv_same(_affine_relu(x, sc, sh), w, precision=precision)
-
-
-def conv_same_stats(x: jax.Array, w: jax.Array, precision=None):
-    """``(conv_same(x, w), mean, mean_sq)`` — epilogue-fused on the pallas
-    kernel (the stats come from the VMEM-resident output, so the following
-    GroupNorm skips its whole-activation HBM stats pass); elsewhere the
-    stats are plain reductions FlatGroupNorm would have run anyway.
-    Differentiable (custom VJP over the unfused composition)."""
-    if precision is not None:
-        y = conv_same(x, w, precision=precision)
-        return (y,) + _spatial_stats(y)
-    return _stats_core(x, w)
-
-
-def conv_same_pro_stats(x: jax.Array, sc: jax.Array, sh: jax.Array,
-                        w: jax.Array, precision=None):
-    """:func:`conv_same_pro` + the epilogue statistics of
-    :func:`conv_same_stats`. Differentiable (custom VJP over the unfused
-    composition)."""
-    if precision is not None:
-        y = conv_same(_affine_relu(x, sc, sh), w, precision=precision)
-        return (y,) + _spatial_stats(y)
-    return _pro_stats_core(x, sc, sh, w)
-
-
 def conv_same(
     x: jax.Array,
     w: jax.Array,
@@ -401,13 +202,6 @@ def conv_same(
     """SAME stride-1 channels-last conv dispatching to the packed form when
     the shape qualifies and packing is active (TPU by default)."""
     n = x.ndim - 2
-    if _MODE == "pallas":
-        from ich_tpu.ops import pallas_conv
-
-        if n == 3 and pallas_conv.qualifies(x.shape, w.shape, x.dtype.itemsize):
-            return pallas_conv.conv3d_same(x, w)
-        if n == 2 and pallas_conv.qualifies2d(x.shape, w.shape, x.dtype.itemsize):
-            return pallas_conv.conv2d_same(x, w)
     pack = (
         choose_pack(x.shape[1 : 1 + n], w.shape[:n], w.shape[-1], c_in=w.shape[-2])
         if packing_active()

@@ -17,9 +17,10 @@ Examples::
     python scripts/serve.py --watch-dir /in --output-dir /out \
         --model model.pkl --mode 3d --patch 64 --once   # drain and exit
 
-Set ``ICH_TPU_PACKING=pallas`` (or ``pallas64``) to route the qualifying
-small-C_out convs through the implicit-GEMM kernel when the on-chip A/B
-(docs/BENCHMARKS.md "lane-bound levels") shows a win for the served shape.
+``ICH_TPU_PACKING`` (auto/on/off) selects the conv packing mode at startup;
+the default ("auto" = direct conv) is the measured optimum on v5e — every
+lane-fill alternative, including a hand-written implicit-GEMM kernel, is a
+documented negative (docs/BENCHMARKS.md "lane-bound levels").
 """
 
 import os

@@ -119,20 +119,6 @@ def test_watchdog_fires_json_line_and_exits(tmp_path, monkeypatch, capsys):
     assert "last_measured" in rec["extra"]
 
 
-def test_pallas_gate_drivers_import_and_refuse_cpu(monkeypatch):
-    """The two TPU gate drivers must import cleanly (API-drift canary for
-    the queued hardware run) and refuse to bench on a non-TPU platform."""
-    import pytest
-
-    import pallas_conv_gate
-    import pallas_in_net_ab
-
-    for mod in (pallas_conv_gate, pallas_in_net_ab):
-        monkeypatch.setattr(sys, "argv", [mod.__name__])
-        with pytest.raises(SystemExit, match="platform"):
-            mod.main()
-
-
 REPO = os.path.dirname(BENCH_DIR)
 
 

@@ -162,11 +162,11 @@ def test_packing_mode_change_retraces():
     assert n1 > 0 and set(traced) == {"auto"}
     a2 = sliding_window_inference(apply_fn, {}, vol, **kw)  # cache hit
     assert len(traced) == n1, "same mode + shape must not re-trace"
-    fastconv.set_packing("pallas")
+    fastconv.set_packing("on")
     try:
         b = sliding_window_inference(apply_fn, {}, vol, **kw)
     finally:
         fastconv.set_packing("auto")
-    assert len(traced) > n1 and set(traced[n1:]) == {"pallas"}, traced
+    assert len(traced) > n1 and set(traced[n1:]) == {"on"}, traced
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a), np.asarray(a2), atol=0)
