@@ -119,6 +119,18 @@ def test_watchdog_fires_json_line_and_exits(tmp_path, monkeypatch, capsys):
     assert "last_measured" in rec["extra"]
 
 
+def test_ca_profile_driver_imports_and_refuses_cpu(monkeypatch):
+    """The CA-profile TPU driver must import cleanly (API-drift canary) and
+    refuse to bench on a non-TPU platform."""
+    import pytest
+
+    import ca_profile
+
+    monkeypatch.setattr(sys, "argv", ["ca_profile"])
+    with pytest.raises(SystemExit, match="platform"):
+        ca_profile.main()
+
+
 REPO = os.path.dirname(BENCH_DIR)
 
 
