@@ -81,7 +81,7 @@ def bench_2d(peak, batch=16):
     return entry
 
 
-def bench_3d(peak, patch, batch, remat=False, aug=True):
+def bench_3d(peak, patch, batch, remat=False, aug=True, top_filter=16):
     import jax
     import jax.numpy as jnp
 
@@ -90,8 +90,12 @@ def bench_3d(peak, patch, batch, remat=False, aug=True):
     from ich_tpu.train.segmentation3d import UNet3D
 
     # remat: bs2 x 128^3 stored activations exceed v5e HBM without
-    # per-block gradient checkpointing (UNet(remat=True)); 64^3 fits plain
-    net = UNet(depth=4, ndim=3, top_filter=16, midchannels_factor=1,
+    # per-block gradient checkpointing (UNet(remat=True)); 64^3 fits plain.
+    # top_filter=64 is the wide MFU *control*: every lane-fill transform is
+    # a measured negative (docs/BENCHMARKS.md), so the remaining question
+    # is whether low MFU is the framework or the reference architecture —
+    # a C_out>=64 net through the identical step answers it.
+    net = UNet(depth=4, ndim=3, top_filter=top_filter, midchannels_factor=1,
                p_dropout=0.0, norm="group", remat=remat, dtype=jnp.bfloat16)
     tr = UNet3D(net, patch_size=(patch,) * 3, n_epoch=1, batch_size=batch,
                 lr=1e-3, loss_fn="BinaryDiceLoss",
@@ -309,6 +313,10 @@ def main():
                  # scaling probe) — the BASELINE-parity shapes stay above
                  ("train3d_bs64_64", lambda: bench_3d(peak, 64, 64)),
                  ("train3d_bs2_128_remat", lambda: bench_3d(peak, 128, 2, remat=True)),
+                 # wide MFU control (C 64..512): is low MFU the framework
+                 # or the reference's C_out<=32 architecture?
+                 ("train3d_bs8_64_wide64",
+                  lambda: bench_3d(peak, 64, 8, remat=True, top_filter=64)),
                  ("sampler3d_bs2_128", lambda: bench_sampler(128, 2))]
     if not args.skip_gan:
         jobs.append(("gan_bs32_256", lambda: bench_gan(peak)))
