@@ -263,9 +263,15 @@ def report(results, out_root, per_seed=None):
             sp, pp = _paired(per_seed, a, str(frac))
             d = pp - sp
             ci = 1.96 * d.std(ddof=1) / np.sqrt(len(d)) if len(d) > 1 else np.nan
+            try:  # paired Wilcoxon signed-rank (the reference-grade test)
+                from scipy.stats import wilcoxon
+
+                wp = wilcoxon(d).pvalue if len(d) > 4 and np.any(d != 0) else np.nan
+            except Exception:
+                wp = np.nan
             row += (f" {p.mean():.3f} ± {1.96 * p.std(ddof=1):.3f} "
                     f"| {d.mean():+.3f} [{d.mean() - ci:+.3f}, {d.mean() + ci:+.3f}]"
-                    f" (n={len(d)}) |")
+                    f" (n={len(d)}, p={wp:.3g}) |")
         lines.append(row)
     table = "\n".join(lines)
     print(table)

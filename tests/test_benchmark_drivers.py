@@ -71,7 +71,7 @@ def test_pooled_report_mixes_two_and_three_arm_seeds(tmp_path, capsys):
     assert len(pooled["contrastive"]["0.1"]) == B.N_FOLDS
     # the CR arm pairs over both seeds (n=10), contrastive over one (n=5)
     row10 = next(ln for ln in out.splitlines() if ln.startswith("| 10%"))
-    assert f"(n={2 * B.N_FOLDS})" in row10 and f"(n={B.N_FOLDS})" in row10
+    assert f"(n={2 * B.N_FOLDS}," in row10 and f"(n={B.N_FOLDS}," in row10
 
 
 def test_subsample_negative_slices_keeps_all_positives():
