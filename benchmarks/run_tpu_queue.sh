@@ -21,7 +21,9 @@ run() {
   echo "--- exit=$st$( [ "$st" = 124 ] && echo ' (TIMEOUT)' ) $(date) ---" | tee -a "$log"
 }
 # -- label-efficiency: contrastive third arm (VERDICT r3 item 4) --------------
-for s in 49 48 42 43 44 45 46 47; do
+# Seeds 49/48/42-45 measured 2026-08-19 (results merged in /tmp/le_multi);
+# 46 died mid-run at a session restart, 47 never started.
+for s in 46 47; do
   run 3000 python benchmarks/label_efficiency_bench.py \
       --seed "$s" --arms contrastive --out "/tmp/le_multi/seed$s"
 done
