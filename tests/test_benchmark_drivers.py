@@ -131,6 +131,18 @@ def test_ca_profile_driver_imports_and_refuses_cpu(monkeypatch):
         ca_profile.main()
 
 
+def test_chunk_shape_probe_imports_and_refuses_cpu(monkeypatch):
+    """The chunk-plan TPU probe must import cleanly (API-drift canary) and
+    refuse to bench on a non-TPU platform."""
+    import pytest
+
+    import chunk_shape_probe
+
+    monkeypatch.setattr(sys, "argv", ["chunk_shape_probe"])
+    with pytest.raises(SystemExit, match="platform"):
+        chunk_shape_probe.main()
+
+
 REPO = os.path.dirname(BENCH_DIR)
 
 
