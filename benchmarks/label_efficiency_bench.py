@@ -216,6 +216,9 @@ def pooled_report(parent_dir, out_root=None):
 
     pooled = {}
     files = sorted(glob.glob(os.path.join(parent_dir, "*", "results.json")))
+    if not files:  # committed snapshots: docs/label_efficiency_seedNN.json
+        files = sorted(glob.glob(
+            os.path.join(parent_dir, "label_efficiency_seed*.json")))
     if not files:
         files = [os.path.join(parent_dir, "results.json")]
     per_seed = []
@@ -275,7 +278,7 @@ def report(results, out_root, per_seed=None):
         lines.append(row)
     table = "\n".join(lines)
     print(table)
-    with open(os.path.join(out_root, "table.md"), "w") as f:
+    with open(os.path.join(out_root, "label_efficiency_table.md"), "w") as f:
         f.write(table + "\n")
 
     try:

@@ -32,7 +32,7 @@ def test_pooled_report_merges_seed_runs(tmp_path, capsys):
     for frac in B.FRACTIONS:
         assert len(pooled["scratch"][str(frac)]) == 2 * B.N_FOLDS
     # table + figure artifacts written next to the runs
-    assert (tmp_path / "table.md").exists()
+    assert (tmp_path / "label_efficiency_table.md").exists()
 
 
 def test_report_handles_partial_fractions(tmp_path, capsys):
