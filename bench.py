@@ -26,11 +26,28 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 TORCH_CPU_BASELINE_VOLS_PER_S = 0.00544  # see module docstring
+
+
+def _host_telemetry():
+    """1/5/15-min loadavg + cpu count: the 1-core box's host contention
+    measurably inflates latencies (CLAUDE.md); recording conditions inside
+    the JSON lets a low capture be told apart from a real regression
+    (VERDICT r4 weak-1)."""
+    try:
+        la = os.getloadavg()
+    except OSError:
+        la = None
+    try:
+        ncpu = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        ncpu = os.cpu_count()
+    return {"loadavg": [round(x, 2) for x in la] if la else None, "ncpu": ncpu}
 
 
 def main(wd=None):
@@ -126,6 +143,7 @@ def main(wd=None):
     if wd is not None:
         wd.pet(40 * 60)  # tunnel alive: fresh budget for the compiles
     peak = peak_tflops(jax.devices()[0].device_kind)
+    host_start = _host_telemetry()
 
     results = {}
     # 64^3 chunk size 128: network-call cost on v5e is quantized in units
@@ -163,6 +181,23 @@ def main(wd=None):
                 entry["mfu_pct"] = round(100.0 * tflops / peak, 2)
         results[f"patch{patch}"] = entry
 
+    # -- 2.5D serving at reference scale (VERDICT r4 item 3) ----------------
+    # The reference's actual deployed path is slice-wise segment_volume
+    # (UNet2D.py:272-314, segment_brain.py:85-92): native 512^2 x ~40-slice
+    # CT -> rot90 -> window -> resize 256^2 -> slice batches through the
+    # flagship 2D U-Net (depth-5 top-32, the UNet2D_config.json net) ->
+    # threshold -> resize back. Measured through the public
+    # UNet2D.segment_volumes API, pipelined (depth 4): end-to-end vol/s
+    # includes fetching each 512^2x40 uint8 prediction over the tunnel;
+    # device vol/s dispatches N same-program volumes and syncs once.
+    try:
+        results["serve_2p5d"] = _serve_2p5d_bench(peak)
+    except Exception as e:
+        results["serve_2p5d"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    finally:
+        if wd is not None:
+            wd.pet(25 * 60)
+
     # headline = 64^3; if that config errored, fall back to another measured
     # config so the error string still ships in the JSON instead of a crash
     # — and say so in the unit (vs_baseline only compares the 64^3 grid)
@@ -191,10 +226,86 @@ def main(wd=None):
                     "device": jax.devices()[0].device_kind,
                     "peak_bf16_tflops": peak,
                     "configs": results,
+                    "host": {"start": host_start, "end": _host_telemetry()},
                 },
             }
         )
     )
+
+
+def _serve_2p5d_bench(peak, n_vols=8, shape=(512, 512, 40), bs=40):
+    """2.5D slice-wise serving at the reference's native CT scale through
+    the public ``UNet2D.segment_volumes`` API (reference deployed path:
+    ``UNet2D.py:272-314`` via ``segment_brain.py:85-92``). ``bs=40`` puts
+    the whole padded z-stack through one batched net apply — the TPU-first
+    batching (z_pad is exactly z, zero padding waste; a 40x256^2 conv batch
+    fills the MXU). Returns end-to-end (prediction volumes fetched to host)
+    and device-only (dispatch N, sync once) vol/s, plus MFU from the
+    algorithmic network FLOPs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ich_tpu.models import UNet
+    from ich_tpu.ops import fastconv
+    from ich_tpu.train.segmentation2d import UNet2D
+    from ich_tpu.utils.profiling import compiled_flops
+
+    net = UNet(depth=5, ndim=2, top_filter=32, p_dropout=0.0,
+               norm="batch", dtype=jnp.bfloat16)
+    trainer = UNet2D(net, batch_size=bs)
+    h, w, z = shape
+    rng = np.random.default_rng(1)
+    vols = [rng.uniform(-100, 150, size=shape).astype(np.float32)
+            for _ in range(n_vols)]
+    window, input_size = (50, 200), (256, 256)
+
+    # one warm pass compiles the (shape, window, size) program + inits state
+    trainer.segment_volumes(vols[:1], window=window, input_size=input_size)
+
+    # end-to-end pipelined: the production number — includes the uint8
+    # prediction fetch (h*w*z bytes/vol) overlapped with compute
+    t0 = time.perf_counter()
+    trainer.segment_volumes(vols, window=window, input_size=input_size,
+                            return_preds=True)
+    e2e = (time.perf_counter() - t0) / n_vols
+
+    # device-only: same compiled program, N in-order dispatches, one sync
+    z_pad = int(np.ceil(z / bs) * bs)
+    run = trainer._make_segment_volume_fn((h, w), z_pad, input_size, window)
+    variables = trainer._variables()
+    dev_vols = [jnp.asarray(np.pad(v, ((0, 0), (0, 0), (0, z_pad - z))))
+                for v in vols]
+    out = None
+    for v in dev_vols:  # warm the dispatch path
+        out = run(variables, v)
+    float(out[0, 0, 0])
+    t0 = time.perf_counter()
+    for v in dev_vols:
+        out = run(variables, v)
+    float(out[0, 0, 0])  # scalar fetch = the only reliable sync on axon
+    dev = (time.perf_counter() - t0) / n_vols
+
+    prev_mode = fastconv._MODE
+    fastconv.set_packing("off")
+    try:
+        per_batch = compiled_flops(
+            jax.jit(lambda v, x: net.apply(v, x, train=False)),
+            variables, jnp.zeros((bs, *input_size, 1)),
+        )
+    finally:
+        fastconv.set_packing(prev_mode)
+    entry = {
+        "shape": list(shape), "n_vols": n_vols, "batch_size": bs,
+        "volumes_per_s_e2e": round(1.0 / e2e, 3),
+        "volumes_per_s_device": round(1.0 / dev, 3),
+        "net": "UNet2D d5f32 BN (UNet2D_config.json flagship)",
+    }
+    if per_batch is not None:
+        tflops = per_batch * (z_pad / bs) / dev / 1e12
+        entry["tflops"] = round(tflops, 2)
+        if peak is not None:
+            entry["mfu_pct"] = round(100.0 * tflops / peak, 2)
+    return entry
 
 
 def _last_recorded_bench():
@@ -260,7 +371,8 @@ class _Watchdog:
             "unit": f"volumes/s (BENCH WATCHDOG: no progress within "
                     f"{int(seconds / 60)} min — TPU tunnel likely down)",
             "vs_baseline": None,
-            "extra": {"last_measured": _last_recorded_bench()},
+            "extra": {"last_measured": _last_recorded_bench(),
+                      "host": _host_telemetry()},
         }), flush=True)
         os._exit(2)
 
@@ -300,7 +412,8 @@ if __name__ == "__main__":
             "unit": "volumes/s (BENCH FAILED: "
                     f"{type(e).__name__}: {e}"[:200] + ")",
             "vs_baseline": None,
-            "extra": {"last_measured": _last_recorded_bench()},
+            "extra": {"last_measured": _last_recorded_bench(),
+                      "host": _host_telemetry()},
         }), flush=True)
         wd.cancel()
         sys.exit(0)  # the JSON line on stdout is the contract, not the rc

@@ -117,25 +117,63 @@ def _pretrain_cr(out_root, seed, unlabeled):
     return pretrain_context_restoration(pre_cfg, unlabeled)
 
 
-def _pretrain_contrastive(out_root, seed, unlabeled):
-    from ich_tpu.experiments.pretrain_finetune import pretrain_contrastive
-    from ich_tpu.ops import transforms as T
-
-    pre_cfg = base_cfg(out_root, "contrastive_pretrain")
+def _contrastive_cfg(out_root, seed, name):
+    pre_cfg = base_cfg(out_root, name)
     pre_cfg["seed"] = seed
     pre_cfg["net"] = {**pre_cfg["net"], "MLP_head": (256, 128)}
     pre_cfg["train"] = {**pre_cfg["train"], "n_epoch": 30, "batch_size": 32}
+    return pre_cfg
+
+
+def _global_views():
+    from ich_tpu.ops import transforms as T
+
     # Crop+flip+blur views: the trainer's default brightness/contrast
     # jitter is a measured NT-Xent collapse attractor at this toy scale
     # (embeddings collapse, loss pins at ln(2B-1); docs/ROUND4_NOTES.md) —
     # geometric views keep both this framework and the reference's own
     # torch trainer in the escaping basin.
-    views = T.Compose(T.RandomCropResize((0.4, 0.8)), T.HFlip(0.5),
-                      T.GaussianBlur(0.5, (0.1, 2.0)))
-    return pretrain_contrastive(pre_cfg, unlabeled, aug_pipeline=views)
+    return T.Compose(T.RandomCropResize((0.4, 0.8)), T.HFlip(0.5),
+                     T.GaussianBlur(0.5, (0.1, 2.0)))
 
 
-PRETRAINERS = {"pretrained": _pretrain_cr, "contrastive": _pretrain_contrastive}
+def _pretrain_contrastive(out_root, seed, unlabeled):
+    from ich_tpu.experiments.pretrain_finetune import pretrain_contrastive
+
+    pre_cfg = _contrastive_cfg(out_root, seed, "contrastive_pretrain")
+    return pretrain_contrastive(pre_cfg, unlabeled, aug_pipeline=_global_views())
+
+
+def _pretrain_contrastive_local(out_root, seed, unlabeled):
+    """Global InfoNCE followed by the reference's LOCAL contrastive phase
+    (Chaitanya 2020: Partial_UNet with the transferred encoder frozen,
+    region NT-Xent on partial-decoder feature maps;
+    ``Contrastive_UNet2D_scripts.py:178-242``, ``LocalContrastive_config.
+    json`` SSL.local: depth 5 / n_decoder 3 / K 3 / freeze true). Scaled to
+    the bench net (depth 4 → n_decoder 2, i.e. one stage short of the full
+    decoder like the reference; head (64, 32) halves the reference's
+    (128, 32) as top_filter 16 halves its 32). The global phase config is
+    IDENTICAL to the ``contrastive`` arm's, so at a given seed the two arms
+    share global weights and the comparison isolates the local phase."""
+    from ich_tpu.experiments.pretrain_finetune import pretrain_contrastive
+    from ich_tpu.ops import transforms as T
+
+    pre_cfg = _contrastive_cfg(out_root, seed, "contrastive_local_pretrain")
+    pre_cfg["local"] = {"n_decoder": 2, "head_channel": (64, 32), "K": 3,
+                        "n_region": 13, "n_epoch": 30, "batch_size": 32,
+                        "freeze": True}
+    # Reference local views are milder (crop 0.7-1.0 + blur + contrast
+    # jitter); we mirror them minus the contrast jitter (the measured
+    # collapse attractor at this toy scale — see _global_views).
+    local_views = T.Compose(T.RandomCropResize((0.7, 1.0)),
+                            T.GaussianBlur(0.5, (0.1, 1.5)))
+    return pretrain_contrastive(pre_cfg, unlabeled,
+                                aug_pipeline=_global_views(),
+                                local_aug_pipeline=local_views)
+
+
+PRETRAINERS = {"pretrained": _pretrain_cr, "contrastive": _pretrain_contrastive,
+               "contrastive_local": _pretrain_contrastive_local}
 
 
 def subsample_negative_slices(ds, frac_negative, rng):
@@ -204,7 +242,7 @@ def main(out_root, seed=42, arms=("scratch", "pretrained", "contrastive"),
 
 
 ARM_LABELS = {"scratch": "scratch", "pretrained": "CR-pretrained",
-              "contrastive": "contrastive"}
+              "contrastive": "contrastive", "contrastive_local": "contrastive+local"}
 
 
 def pooled_report(parent_dir, out_root=None):
@@ -239,14 +277,16 @@ def _paired(per_seed, arm, frac):
     both arms (old two-arm seed dirs lack the contrastive arm)."""
     s, p = [], []
     for res in per_seed:
-        if arm in res and "scratch" in res and frac in res.get(arm, {}):
+        if (arm in res and frac in res.get(arm, {})
+                and frac in res.get("scratch", {})):
             s.extend(res["scratch"][frac])
             p.extend(res[arm][frac])
     return np.asarray(s), np.asarray(p)
 
 
 def report(results, out_root, per_seed=None):
-    arms = [a for a in ("scratch", "pretrained", "contrastive") if a in results]
+    arms = [a for a in ("scratch", "pretrained", "contrastive",
+                        "contrastive_local") if a in results]
     pre_arms = [a for a in arms if a != "scratch"]
     if per_seed is None:
         per_seed = [results]
@@ -262,6 +302,11 @@ def report(results, out_root, per_seed=None):
         s = np.asarray(results["scratch"][str(frac)])
         row = f"| {int(frac * 100)}% | {s.mean():.3f} ± {1.96 * s.std(ddof=1):.3f} |"
         for a in pre_arms:
+            if str(frac) not in results[a]:
+                # arm measured on a different fraction grid (e.g. a
+                # rescue-only arm pooled next to the full sweep)
+                row += " — | — |"
+                continue
             p = np.asarray(results[a][str(frac)])
             sp, pp = _paired(per_seed, a, str(frac))
             d = pp - sp
@@ -313,7 +358,8 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--arms", default="scratch,pretrained,contrastive",
                     help="comma-separated subset of scratch/pretrained/"
-                         "contrastive (scratch is the pairing anchor)")
+                         "contrastive/contrastive_local (scratch is the "
+                         "pairing anchor)")
     ap.add_argument("--rescue", action="store_true",
                     help="10%%-labels rescue probe: fraction 0.1 only, "
                          "frac_negative=0.25 slice subsampling + 2x epochs")

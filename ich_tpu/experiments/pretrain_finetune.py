@@ -76,14 +76,17 @@ def pretrain_context_restoration(cfg: dict, dataset) -> dict:
 
 
 def pretrain_contrastive(cfg: dict, dataset, local_dataset=None,
-                         aug_pipeline=None) -> dict:
+                         aug_pipeline=None, local_aug_pipeline=None) -> dict:
     """Global InfoNCE (+ optional local phase with frozen encoder);
     returns the pretrained variables of the last phase.
 
     ``aug_pipeline`` overrides the trainer's default SimCLR-style view
-    pipeline (at toy scale the default's brightness/contrast jitter is a
-    measured NT-Xent collapse attractor — crop+flip views keep training
-    in the escaping basin; docs/ROUND4_NOTES.md)."""
+    pipeline for BOTH phases (at toy scale the default's brightness/
+    contrast jitter is a measured NT-Xent collapse attractor — crop+flip
+    views keep training in the escaping basin; docs/ROUND4_NOTES.md).
+    ``local_aug_pipeline`` further overrides the local phase only — the
+    reference uses milder views there (no flip, gentler crop;
+    ``LocalContrastive_config.json`` ``contrastive_augmentation.local``)."""
     n = cfg["net"]
     tr = cfg["train"]
     # defaults mirror build_unet_from_cfg so a config omitting
@@ -122,6 +125,7 @@ def pretrain_contrastive(cfg: dict, dataset, local_dataset=None,
         local = Contrastive(
             part, is_global=False, tau=lc.get("tau", 0.5),
             K=lc.get("K", 3), n_region=lc.get("n_region", 13),
+            aug_pipeline=local_aug_pipeline or aug_pipeline,
             n_epoch=lc.get("n_epoch", tr["n_epoch"]),
             batch_size=lc.get("batch_size", tr["batch_size"]),
             lr=lc.get("lr", tr["lr"]), seed=cfg.get("seed", 42),

@@ -74,6 +74,51 @@ def test_pooled_report_mixes_two_and_three_arm_seeds(tmp_path, capsys):
     assert f"(n={2 * B.N_FOLDS}," in row10 and f"(n={B.N_FOLDS}," in row10
 
 
+def test_report_arm_missing_fraction_renders_placeholder(tmp_path, capsys):
+    """An arm lacking a fraction that scratch has (e.g. pooling a rescue-only
+    arm next to the full sweep) must render placeholder cells, not KeyError
+    (ADVICE r4 item 1)."""
+    import label_efficiency_bench as B
+
+    res = {
+        "scratch": {"0.1": [0.1, 0.2], "0.25": [0.3, 0.4]},
+        "pretrained": {"0.1": [0.2, 0.3]},  # no 0.25 entry
+    }
+    B.report(res, str(tmp_path))
+    out = capsys.readouterr().out
+    row25 = next(ln for ln in out.splitlines() if ln.startswith("| 25%"))
+    assert "—" in row25
+    row10 = next(ln for ln in out.splitlines() if ln.startswith("| 10%"))
+    assert "n=2" in row10
+
+
+def test_pooled_report_contrastive_local_arm(tmp_path, capsys):
+    """The round-5 local(+global) contrastive arm pools and pairs like the
+    others (VERDICT r4 item 1 harness)."""
+    import label_efficiency_bench as B
+
+    rng = np.random.default_rng(2)
+
+    def res(arms):
+        return {arm: {str(f): rng.uniform(0, 1, B.N_FOLDS).tolist()
+                      for f in B.FRACTIONS} for arm in arms}
+
+    (tmp_path / "seed42").mkdir()
+    (tmp_path / "seed42" / "results.json").write_text(json.dumps(
+        res(("scratch", "pretrained", "contrastive", "contrastive_local"))))
+    pooled = B.pooled_report(str(tmp_path))
+    out = capsys.readouterr().out
+    assert "contrastive+local" in out
+    assert len(pooled["contrastive_local"]["0.1"]) == B.N_FOLDS
+
+
+def test_contrastive_local_pretrainer_registered():
+    import label_efficiency_bench as B
+
+    assert "contrastive_local" in B.PRETRAINERS
+    assert "contrastive_local" in B.ARM_LABELS
+
+
 def test_subsample_negative_slices_keeps_all_positives():
     import label_efficiency_bench as B
     from ich_tpu.data.core import SliceDataset2D

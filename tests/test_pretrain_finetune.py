@@ -57,16 +57,30 @@ def test_context_restoration_to_finetune(tmp_path):
 
 
 def test_contrastive_global_local(tmp_path):
+    from ich_tpu.ops import transforms as T
+
     cfg = _cfg(tmp_path, "con")
     cfg["net"]["MLP_head"] = [16, 8]
     cfg["local"] = {"n_decoder": 1, "head_channel": (8, 4), "K": 2,
                     "n_region": 4, "n_epoch": 1, "freeze": True}
     data = synthetic_ich_slices(16, 32, 2, seed=3)
-    weights = pretrain_contrastive(cfg, data)
+    # distinct global/local view pipelines (ADVICE r4 item 3: the local
+    # phase must honor the override, not fall back to the trainer default)
+    weights = pretrain_contrastive(
+        cfg, data,
+        aug_pipeline=T.Compose(T.RandomCropResize((0.4, 0.8)), T.HFlip(0.5)),
+        local_aug_pipeline=T.Compose(T.RandomCropResize((0.7, 1.0))),
+    )
     assert any("encoder" in str(k) for k in weights["params"])
+    assert any("decoder" in str(k) for k in weights["params"])
     assert os.path.exists(
         os.path.join(cfg["path"]["OUTPUT"], "con", "pretrain_local", "pretrained.bin")
     )
+    # the local-phase weights seed a UNet fine-tune (the bench's 4th arm
+    # path): encoder AND partial-decoder stages must transfer
+    out = run_supervised_2d_with_init(cfg, weights, _folds)
+    log = open(os.path.join(out, "Fold_1/log.txt")).read()
+    assert "matching weight keys" in log
 
 
 def test_classifier_pretraining(tmp_path):
