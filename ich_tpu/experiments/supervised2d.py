@@ -179,9 +179,16 @@ def run_supervised_2d(cfg: dict, datasets_by_fold=None, init_variables=None) -> 
             )
             trainer.transfer_weights(init_variables, verbose=True)
 
+        # per-epoch validation re-reads the test set every epoch: HBM-cache
+        # it too, or each epoch re-ships it host->device (134 MB/epoch at
+        # the flagship 512-slice/256^2 fold — measured in the round-5 fold
+        # wall-clock attribution)
+        validate = tr.get("validate_epoch", False)
+        if validate:
+            test_ds = test_ds.device_cache()
         trainer.train(
             train_ds.device_cache(),
-            valid_dataset=test_ds if tr.get("validate_epoch", False) else None,
+            valid_dataset=test_ds if validate else None,
             checkpoint_path=ckpt_path,
         )
         if preemption.requested():

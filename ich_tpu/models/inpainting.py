@@ -298,6 +298,34 @@ def _coarse_layers(lat, out_ch, act, norm):
     )
 
 
+_REMAT_WARNED = False
+
+
+def _warn_remat_unvalidated_on_axon():
+    """One-shot warning: remat'd gated generators are TPU-unvalidated on the
+    axon platform — the remote compile helper reproducibly crashes (HTTP
+    500) on the bs64 remat program, so no hardware measurement exists
+    (docs/BENCHMARKS.md "GAN bs64 remat"; VERDICT r4 item 6)."""
+    global _REMAT_WARNED
+    if _REMAT_WARNED:
+        return
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return
+    if backend == "axon":
+        import warnings
+
+        warnings.warn(
+            "GatedGenerator/SAGatedGenerator remat=True is TPU-unvalidated "
+            "on the axon platform: the remote compile helper crashes on the "
+            "large remat program (docs/BENCHMARKS.md). Measured TPU config "
+            "is batch 32 with remat=False.",
+            stacklevel=3,
+        )
+        _REMAT_WARNED = True
+
+
 def _remat(cls, remat: bool, static_argnums=(2,)):
     """Optionally wrap a layer class in gradient checkpointing. ``nn.remat``
     is a lifted transform — parameter paths stay identical, so remat'd and
@@ -329,7 +357,15 @@ class _GatedStack(nn.Module):
 
 class GatedGenerator(nn.Module):
     """Two-stage gated inpainting generator with optional contextual
-    attention branch (reference ``GatedGenerator:469-599``)."""
+    attention branch (reference ``GatedGenerator:469-599``).
+
+    ``remat=True`` (gradient-checkpointed gated convs, for big-batch
+    training) is **TPU-unvalidated**: the generated XLA program is large
+    enough that this image's remote compile helper crashes on it
+    reproducibly (bs64; HTTP 500 — docs/BENCHMARKS.md "GAN bs64 remat"),
+    so no TPU measurement exists. The measured TPU training config is
+    bs32 with ``remat=False`` (527.7 ms/step, 18.9% MFU). A warning is
+    emitted when the combination is instantiated on the axon platform."""
 
     out_channels: int = 1
     lat_channels: int = 32
@@ -344,6 +380,8 @@ class GatedGenerator(nn.Module):
     @nn.compact
     def __call__(self, img, mask, train: bool = False):
         """img (B,H,W,C_img), mask (B,H,W,1) with 1 = region to inpaint."""
+        if self.remat:
+            _warn_remat_unvalidated_on_axon()
         lat, act, norm = self.lat_channels, self.activation, self.norm
         if mask.ndim == 3:
             mask = mask[..., None]
@@ -398,6 +436,8 @@ class SAGatedGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, img, mask, train: bool = False):
+        if self.remat:
+            _warn_remat_unvalidated_on_axon()
         lat, act, norm = self.lat_channels, self.activation, self.norm
         if mask.ndim == 3:
             mask = mask[..., None]

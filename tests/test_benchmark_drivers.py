@@ -6,6 +6,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 BENCH_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                          "benchmarks")
@@ -132,6 +133,28 @@ def test_subsample_negative_slices_keeps_all_positives():
     pos = sub.masks.reshape(len(sub), -1).sum(axis=1) > 0
     assert int(pos.sum()) == 10  # every positive kept
     assert len(sub) - 10 == round(0.25 * 30)  # 25% of the 30 negatives
+
+
+@pytest.mark.slow
+def test_fold_walltime_bench_tiny(tmp_path, monkeypatch, capsys):
+    """fold_walltime_bench end to end at toy scale: the attribution record
+    must balance (train + eval + build = fold wall) and parse real logs."""
+    import fold_walltime_bench as FW
+
+    monkeypatch.setattr(FW, "SIZE", 32)
+    monkeypatch.setattr(FW, "N_PATIENTS", 5)
+    monkeypatch.setattr(FW, "SLICES_PER_PATIENT", 8)
+    FW.main(str(tmp_path), n_epoch=1)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["metric"] == "supervised_fold_walltime"
+    ex = rec["extra"]
+    assert ex["n_train"] == 32 and ex["n_test"] == 8
+    assert ex["n_steps"] == 2  # ceil(32/16) * 1 epoch
+    assert ex["sol_step_ms"] > 0 and ex["sol_fold_s"] > 0
+    # attribution sums to the fold wall (within rounding)
+    total = ex["train_wall_s"] + ex["final_eval_s"] + ex["build_init_artifacts_s"]
+    assert abs(total - rec["value"]) < 1.0
+    assert ex["epoch_s_mean"] is not None
 
 
 def test_watchdog_fires_json_line_and_exits(tmp_path, monkeypatch, capsys):

@@ -271,3 +271,29 @@ def test_unet_remat_equals_plain():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5),
         g1, g2)
+
+
+def test_gated_generator_remat_warns_on_axon(monkeypatch):
+    """remat=True is TPU-unvalidated (the axon compile helper crashes on
+    the program — docs/BENCHMARKS.md): the API must say so when built on
+    that platform (VERDICT r4 item 6)."""
+    import ich_tpu.models.inpainting as inp
+
+    monkeypatch.setattr(inp, "_REMAT_WARNED", False)
+    monkeypatch.setattr(inp.jax, "default_backend", lambda: "axon")
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(1, 32, 32, 1)).astype(np.float32))
+    mask = jnp.zeros((1, 32, 32, 1))
+    net = GatedGenerator(lat_channels=4, context_attention=False, remat=True)
+    with pytest.warns(UserWarning, match="TPU-unvalidated"):
+        net.init(KEY, img, mask)
+    # one-shot: a second build does not warn again
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        net.init(KEY, img, mask)
+    # and remat=False never warns
+    monkeypatch.setattr(inp, "_REMAT_WARNED", False)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        GatedGenerator(lat_channels=4, context_attention=False).init(KEY, img, mask)

@@ -133,3 +133,27 @@ def test_known_reference_typo_is_tolerated():
     t = TRANSFORMS.build("AdjustBrighness", p=0.5, low=-0.2, high=0.2)
     out = t(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8)))
     assert out.shape == (1, 8, 8)
+
+
+def test_repo_throughput_presets_parse_and_build():
+    """The shipped throughput presets (VERDICT r4 item 7) carry the
+    measured-optimal batches (docs/BENCHMARKS.md: 2D bs128, 3D bs64 64^3,
+    sliding-window chunk 128) and build through the same machinery as the
+    reference-parity configs."""
+    from ich_tpu.experiments.supervised2d import build_augment_fn, build_unet_from_cfg
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo_root, "configs/unet2d_throughput.json")) as f:
+        c2 = json.load(f)
+    assert c2["train"]["batch_size"] == 128
+    net = build_unet_from_cfg(c2["net"])
+    assert net.depth == 5 and net.top_filter == 32
+    build_augment_fn(c2["data"]["augmentation"]["train"])
+    LOSSES.build(c2["train"]["loss_fn"], **c2["train"]["loss_fn_kwargs"])
+
+    with open(os.path.join(repo_root, "configs/unet3d_throughput.json")) as f:
+        c3 = json.load(f)
+    assert c3["train"]["batch_size"] == 64
+    assert c3["data"]["patch_size"] == [64, 64, 64]
+    assert c3["train"]["sw_batch_size"] == 128
+    LOSSES.build(c3["train"]["loss_fn"], **c3["train"]["loss_fn_kwargs"])
