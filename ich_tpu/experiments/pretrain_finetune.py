@@ -194,10 +194,20 @@ def label_efficiency_sweep(
     datasets_by_fold: Callable,
     fractions: Sequence[float] = (0.1, 0.25, 0.5, 1.0),
     seed: int = 42,
+    low_label_recipe: Optional[dict] = None,
 ) -> Dict[float, str]:
     """Fine-tune at several label fractions (BASELINE config 5). For each
     fraction, the train split of every fold is subsampled at the *patient*
-    level; evaluation uses the full test split."""
+    level; evaluation uses the full test split.
+
+    ``low_label_recipe``: optional dict ``{"below": 0.15, "frac_negative":
+    0.25, "epoch_mult": 2}`` — for fractions under ``below``, cap negative
+    slices at ``frac_negative`` x the positive count (the reference's
+    class-rebalancing knob, ``UNet2D_scripts.py:121-123``) and stretch the
+    fine-tune by ``epoch_mult``. This is the measured 10%-labels rescue
+    recipe (docs/BENCHMARKS.md "10%-labels rescue probe"): the low-label
+    failure basin is a class-imbalance optimization artifact, and
+    rebalancing + longer training empties it."""
     results = {}
     for frac in fractions:
         sub_cfg = {
@@ -205,6 +215,14 @@ def label_efficiency_sweep(
             "exp_name": f"{cfg['exp_name']}_frac{int(frac * 100)}",
             "dataset": {**cfg.get("dataset", {}), "label_fraction": frac},
         }
+        if low_label_recipe and frac < low_label_recipe.get("below", 0.15):
+            sub_cfg["dataset"]["frac_negative"] = low_label_recipe.get(
+                "frac_negative", 0.25)
+            sub_cfg["train"] = {
+                **cfg["train"],
+                "n_epoch": int(cfg["train"]["n_epoch"]
+                               * low_label_recipe.get("epoch_mult", 2)),
+            }
 
         if datasets_by_fold is None:
             frac_folds = None  # CSV path applies label_fraction itself

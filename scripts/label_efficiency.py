@@ -15,7 +15,13 @@ from _common import load_cfg, setup_logger
 @click.option("--pretrain", type=click.Choice(["none", "context_restoration", "contrastive", "classifier"]),
               default="contrastive")
 @click.option("--fractions", default="0.1,0.25,0.5,1.0")
-def main(config_path, pretrain, fractions):
+@click.option("--low-label-recipe/--no-low-label-recipe", default=False,
+              help="For fractions <0.15: cap negative slices at 0.25x the "
+                   "positive count (reference frac_negative analog, "
+                   "UNet2D_scripts.py:121-123) and double the fine-tune "
+                   "epochs — the measured 10%%-labels rescue recipe "
+                   "(docs/BENCHMARKS.md).")
+def main(config_path, pretrain, fractions, low_label_recipe):
     cfg = load_cfg(config_path)
     setup_logger()
     from ich_tpu.data.datasets import load_rsna_slices
@@ -40,8 +46,11 @@ def main(config_path, pretrain, fractions):
         }[pretrain](cfg, ssl_data)
 
     fracs = tuple(float(f) for f in fractions.split(","))
+    recipe = ({"below": 0.15, "frac_negative": 0.25, "epoch_mult": 2}
+              if low_label_recipe else None)
     results = label_efficiency_sweep(cfg, weights, None, fractions=fracs,
-                                     seed=cfg.get("seed", 42))
+                                     seed=cfg.get("seed", 42),
+                                     low_label_recipe=recipe)
     for f, out in results.items():
         with open(f"{out}/average_scores.txt") as fh:
             click.echo(f"fraction {f:.0%}: {fh.read().strip()}")

@@ -101,3 +101,33 @@ def test_label_efficiency_sweep(tmp_path):
         assert os.path.exists(os.path.join(out, "average_scores.txt"))
     # the 50% run used fewer training patients: check logged split sizes differ
     assert results[0.5] != results[1.0]
+
+
+def test_low_label_recipe_modifies_only_low_fractions(monkeypatch):
+    """The rescue recipe (frac_negative cap + epoch stretch — reference
+    ``UNet2D_scripts.py:121-123`` analog) must apply only below the
+    threshold and leave other fractions byte-identical."""
+    import ich_tpu.experiments.pretrain_finetune as pf
+
+    seen = {}
+
+    def fake_run(cfg, pre, folds):
+        seen[cfg["dataset"]["label_fraction"]] = cfg
+        return f"out_{cfg['exp_name']}"
+
+    monkeypatch.setattr(pf, "run_supervised_2d_with_init", fake_run)
+    cfg = {"exp_name": "x", "train": {"n_epoch": 40}, "dataset": {}}
+    pf.label_efficiency_sweep(
+        cfg, None, None, fractions=(0.1, 0.25),
+        low_label_recipe={"below": 0.15, "frac_negative": 0.25,
+                          "epoch_mult": 2},
+    )
+    assert seen[0.1]["dataset"]["frac_negative"] == 0.25
+    assert seen[0.1]["train"]["n_epoch"] == 80
+    assert "frac_negative" not in seen[0.25]["dataset"]
+    assert seen[0.25]["train"]["n_epoch"] == 40
+    # default: no recipe, nothing changes
+    seen.clear()
+    pf.label_efficiency_sweep(cfg, None, None, fractions=(0.1,))
+    assert "frac_negative" not in seen[0.1]["dataset"]
+    assert seen[0.1]["train"]["n_epoch"] == 40
