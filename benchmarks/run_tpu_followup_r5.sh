@@ -21,4 +21,6 @@ run() {
 run 3600 python benchmarks/fold_walltime_bench.py --epochs 100 --out /tmp/fold_walltime
 # headline + 2.5D serving + telemetry capture (VERDICT r4 items 3 + 5)
 run 6600 python bench.py
+# wide-U-Net serving extension (round-4 notes: the remaining width lever)
+run 2400 python benchmarks/wide_serving_probe.py
 echo "FOLLOWUP R5 DONE $(date)" | tee -a "$log"
