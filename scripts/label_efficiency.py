@@ -19,7 +19,7 @@ from _common import load_cfg, setup_logger
               help="For fractions <0.15: cap negative slices at 0.25x the "
                    "positive count (reference frac_negative analog, "
                    "UNet2D_scripts.py:121-123) and double the fine-tune "
-                   "epochs — the measured 10%%-labels rescue recipe "
+                   "epochs — the measured 10%-labels rescue recipe "
                    "(docs/BENCHMARKS.md).")
 def main(config_path, pretrain, fractions, low_label_recipe):
     cfg = load_cfg(config_path)
